@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: MNIST 28x28 images/sec at 50-step DDIM with 3 composed experts,
+one chip (BASELINE.json north star, target > 5000 img/s on TPU v5e).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N/5000}
+
+Workload parity: the reference composes K experts by running K sequential
+PyTorch UNet forwards per step in a host loop (mnist/compose_scores.py:29-46).
+Here the 3 experts are one vmapped stacked forward, the 50 DDIM steps are one
+lax.scan, and the whole sampler is a single jitted program: zero host sync.
+Model: the reference's mnist UNet (M1, base_dim 64 — unet_small.py:47-92),
+bf16 params/activations with fp32 schedule math.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from composable_diffusion_models_tpu import compose, experts, samplers
+from composable_diffusion_models_tpu.models import UNet
+from composable_diffusion_models_tpu.schedules import VPSchedule
+
+BASELINE_IMGS_PER_SEC = 5000.0
+
+
+def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16):
+    key = jax.random.PRNGKey(0)
+    model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4))
+    x0 = jnp.zeros((1, 28, 28, 1))
+    params_list = [
+        jax.tree_util.tree_map(
+            lambda p: p.astype(dtype),
+            model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,))))
+        for i in range(3)
+    ]
+    stack = experts.ExpertStack(model.apply, params_list)
+    schedule = VPSchedule()
+    weights = jnp.ones((3,), jnp.float32)
+
+    def eps_fn(x, t):
+        eps = stack(x.astype(dtype), t.astype(dtype))
+        return compose.weighted(eps.astype(jnp.float32), weights)
+
+    @jax.jit
+    def sample(key):
+        x_init = jax.random.normal(key, (batch_size, 28, 28, 1), jnp.float32)
+        return samplers.ddim(eps_fn, schedule, x_init, 50)
+
+    return sample
+
+
+def run(batch_size: int, base_dim: int, iters: int = 5):
+    sample = build(batch_size, base_dim)
+    key = jax.random.PRNGKey(1)
+    # compile + warmup
+    jax.block_until_ready(sample(key))
+    jax.block_until_ready(sample(jax.random.fold_in(key, 1)))
+    times = []
+    for i in range(iters):
+        k = jax.random.fold_in(key, 2 + i)
+        t0 = time.perf_counter()
+        jax.block_until_ready(sample(k))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return batch_size / best, best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_sizes", default="256,512,1024")
+    ap.add_argument("--base_dim", type=int, default=64,
+                    help="reference mnist UNet width (unet_small.py:49)")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    best_ips, best_bs, best_t = 0.0, 0, 0.0
+    for bs in [int(b) for b in args.batch_sizes.split(",")]:
+        try:
+            ips, t = run(bs, args.base_dim, args.iters)
+        except Exception as e:  # OOM at large batch: skip
+            print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
+            continue
+        print(f"# batch {bs}: {ips:.1f} img/s ({t * 1e3:.1f} ms/batch)",
+              file=sys.stderr)
+        if ips > best_ips:
+            best_ips, best_bs, best_t = ips, bs, t
+
+    steps_per_sec = 50.0 / best_t if best_t else 0.0
+    print(json.dumps({
+        "metric": "mnist_images_per_sec_ddim50_3experts",
+        "value": round(best_ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(best_ips / BASELINE_IMGS_PER_SEC, 3),
+        "extra": {"batch_size": best_bs, "base_dim": args.base_dim,
+                  "sampler_steps_per_sec": round(steps_per_sec, 2),
+                  "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

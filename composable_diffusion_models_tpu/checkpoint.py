@@ -1,0 +1,79 @@
+"""Checkpointing via orbax, preserving the reference's directory contract.
+
+Reference (SURVEY.md §5.4): torch.save dicts {epoch, model, optimizer}
+(mnist/utils.py:16-31) and a CheckpointManager with layout
+``base/exp_name/run_id/{checkpoints,results,logs}`` writing
+``{name}_final`` / ``{name}_epoch_{n}`` (src/utils/tools.py:6-29), save-only.
+The rebuild keeps the layout and adds true step-level RESUME: states carry
+{params, opt_state, step, key} and restore bitwise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+Pytree = Any
+
+
+class CheckpointManager:
+    """Directory contract: base/exp_name/run_id/{checkpoints,results,logs}."""
+
+    def __init__(self, base_dir: str, exp_name: str, run_id: str = "run_0"):
+        self.root = os.path.abspath(os.path.join(base_dir, exp_name, run_id))
+        self.ckpt_dir = os.path.join(self.root, "checkpoints")
+        self.results_dir = os.path.join(self.root, "results")
+        self.logs_dir = os.path.join(self.root, "logs")
+        for d in (self.ckpt_dir, self.results_dir, self.logs_dir):
+            os.makedirs(d, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str, epoch: Optional[int]) -> str:
+        suffix = "final" if epoch is None else f"epoch_{epoch}"
+        return os.path.join(self.ckpt_dir, f"{name}_{suffix}")
+
+    def save(self, name: str, state: Pytree, epoch: Optional[int] = None,
+             overwrite: bool = True) -> str:
+        path = self._path(name, epoch)
+        if overwrite and os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def load(self, name: str, epoch: Optional[int] = None,
+             like: Optional[Pytree] = None) -> Pytree:
+        path = self._path(name, epoch)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        if like is not None:
+            target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, like)
+            return self._ckptr.restore(path, target)
+        return self._ckptr.restore(path)
+
+
+def save_checkpoint(path: str, state: Pytree) -> str:
+    """Flat save (the mnist/utils.py style): state = {params, opt_state?, step}."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, like: Optional[Pytree] = None) -> Pytree:
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, like)
+        return ckptr.restore(path, target)
+    return ckptr.restore(path)

@@ -1,0 +1,314 @@
+"""Data layer: device-resident, procedural, zero-copy datasets.
+
+TPU-native replacements for the reference's torchvision/PIL loaders
+(SURVEY.md §2.6). All generation is pure jnp — datasets are built once,
+live in HBM, and feed jitted train steps with zero host<->device traffic.
+
+  * toy 2D 4-Gaussian grid halves    (D10, notebook/superposition_edu.py:18-26)
+  * procedural shapes rasterizer     (D2/D3, shapes/dataset.py:8-56 — PIL-free:
+    circle/square/triangle via coordinate-grid predicates)
+  * MNIST: real IDX files if present (mnist/dataset.py:8-37), else a
+    deterministic procedural glyph renderer (5x7 bitmap font + random affine +
+    blur) so every pipeline runs hermetically with zero network egress.
+  * colored MNIST via per-digit color LUT (D4,
+    src/composing_colored_mnist.py:142-196)
+  * holdout filtering by (shape, color) combination (D7,
+    src/composing_conditional_diffusion_on_shape_and_color.py:34-36)
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# 2D toy distributions (the notebook fixture)
+# ---------------------------------------------------------------------------
+def toy2d(key: Array, bs: int, up: bool = True) -> Array:
+    """4-Gaussian grid, upper or lower half (parity:
+    notebook/superposition_edu.py:18-26): integer corners in {0,1}^2
+    restricted to a half, scaled by 3*(x-0.5), + 0.4 N(0,1)."""
+    k1, k2 = jax.random.split(key)
+    if up:
+        lo, hi = jnp.array([0, 1]), jnp.array([2, 2])
+    else:
+        lo, hi = jnp.array([0, 0]), jnp.array([2, 1])
+    x = jax.random.randint(k1, (bs, 2), lo, hi).astype(jnp.float32)
+    x = 3.0 * (x - 0.5)
+    return x + 0.4 * jax.random.normal(k2, (bs, 2))
+
+
+# ---------------------------------------------------------------------------
+# Procedural shapes rasterizer (PIL-free)
+# ---------------------------------------------------------------------------
+SHAPES = ("circle", "square", "triangle")
+SHAPE_COLORS = ("red", "green", "blue")
+# PIL named colors: "green" is #008000, not full green.
+_SHAPE_COLOR_RGB = jnp.array([[1.0, 0.0, 0.0],
+                              [0.0, 128.0 / 255.0, 0.0],
+                              [0.0, 0.0, 1.0]], jnp.float32)
+
+
+def rasterize_shape(shape_idx: Array, img_size: int = 64) -> Array:
+    """(H, W) float mask of the shape, geometry matching the reference's PIL
+    draws (shapes/dataset.py:34-45): margin = img_size // 4, shape spans
+    [margin, img_size - margin] inclusive (PIL fills include both endpoints)."""
+    m = img_size // 4
+    hi = img_size - m
+    yy, xx = jnp.meshgrid(jnp.arange(img_size, dtype=jnp.float32),
+                          jnp.arange(img_size, dtype=jnp.float32),
+                          indexing="ij")
+    c = (m + hi) / 2.0
+    r = (hi - m) / 2.0
+    circle = ((xx - c) ** 2 + (yy - c) ** 2) <= r**2
+    square = (xx >= m) & (xx <= hi) & (yy >= m) & (yy <= hi)
+    # triangle with verts (img/2, m), (m, hi), (hi, hi): inside = below both
+    # slanted edges and above-bounded by the base row.
+    p1 = jnp.array([img_size / 2.0, float(m)])  # (x, y)
+
+    def halfplane(ax, ay, bx, by):
+        return (bx - ax) * (yy - ay) - (by - ay) * (xx - ax)
+
+    e1 = halfplane(p1[0], p1[1], m, hi)       # p1 -> p2
+    e2 = halfplane(m, hi, hi, hi)             # p2 -> p3
+    e3 = halfplane(hi, hi, p1[0], p1[1])      # p3 -> p1
+    # p1 -> p2 -> p3 winds clockwise in image coords (y down): interior <= 0
+    tri = (e1 <= 0) & (e2 <= 0) & (e3 <= 0)
+    masks = jnp.stack([circle, square, tri]).astype(jnp.float32)
+    return masks[shape_idx]
+
+
+def make_shapes_dataset(size: int = 5000, img_size: int = 64,
+                        grayscale: bool = False,
+                        holdout: Optional[Sequence[Tuple[int, int]]] = None,
+                        background: str = "black"):
+    """Device-resident shapes dataset.
+
+    Returns (images NHWC in [-1, 1], shape_labels, color_labels). Combinations
+    cycle deterministically (idx % 9), matching ShapesDataset.__getitem__
+    (shapes/dataset.py:49); ``holdout`` drops listed (shape, color) pairs
+    (the src-family generalization experiments).
+    """
+    combos = [(s, c) for s in range(3) for c in range(3)]
+    if holdout:
+        held = set(tuple(h) for h in holdout)
+        combos = [sc for sc in combos if sc not in held]
+    combos_arr = jnp.array(combos)
+    idx = jnp.arange(size) % len(combos)
+    shape_labels = combos_arr[idx, 0]
+    color_labels = combos_arr[idx, 1]
+
+    masks = jax.vmap(lambda s: rasterize_shape(s, img_size))(shape_labels)
+    bg = 1.0 if background == "white" else 0.0
+    if grayscale:
+        imgs = masks[..., None] * 1.0 + (1.0 - masks[..., None]) * bg
+    else:
+        colors = _SHAPE_COLOR_RGB[color_labels]          # (N, 3)
+        fg = masks[..., None] * colors[:, None, None, :]
+        imgs = fg + (1.0 - masks[..., None]) * bg
+    return imgs * 2.0 - 1.0, shape_labels, color_labels
+
+
+# ---------------------------------------------------------------------------
+# MNIST: real IDX if available, procedural glyphs otherwise
+# ---------------------------------------------------------------------------
+_FONT = {
+    0: ["01110", "10001", "10011", "10101", "11001", "10001", "01110"],
+    1: ["00100", "01100", "00100", "00100", "00100", "00100", "01110"],
+    2: ["01110", "10001", "00001", "00010", "00100", "01000", "11111"],
+    3: ["11111", "00010", "00100", "00010", "00001", "10001", "01110"],
+    4: ["00010", "00110", "01010", "10010", "11111", "00010", "00010"],
+    5: ["11111", "10000", "11110", "00001", "00001", "10001", "01110"],
+    6: ["00110", "01000", "10000", "11110", "10001", "10001", "01110"],
+    7: ["11111", "00001", "00010", "00100", "01000", "01000", "01000"],
+    8: ["01110", "10001", "10001", "01110", "10001", "10001", "01110"],
+    9: ["01110", "10001", "10001", "01111", "00001", "00010", "01100"],
+}
+
+
+def _font_array() -> Array:
+    """(10, 9, 9) glyph bitmaps, 5x7 font centered in a 9x9 canvas."""
+    glyphs = np.zeros((10, 9, 9), np.float32)
+    for d, rows in _FONT.items():
+        bmp = np.array([[int(ch) for ch in r] for r in rows], np.float32)
+        glyphs[d, 1:8, 2:7] = bmp
+    return jnp.asarray(glyphs)
+
+
+def _render_digit(glyph: Array, key: Array, out_size: int = 28) -> Array:
+    """Affine-sample a 9x9 glyph into out_size^2 with random scale/shift, then
+    3x3 box blur. Returns (out, out) in [0, 1]."""
+    ks, kx, ky = jax.random.split(key, 3)
+    scale = jax.random.uniform(ks, (), minval=2.2, maxval=3.2)
+    tx = jax.random.uniform(kx, (), minval=-2.5, maxval=2.5)
+    ty = jax.random.uniform(ky, (), minval=-2.5, maxval=2.5)
+    yy, xx = jnp.meshgrid(jnp.arange(out_size, dtype=jnp.float32),
+                          jnp.arange(out_size, dtype=jnp.float32),
+                          indexing="ij")
+    c = (out_size - 1) / 2.0
+    src_y = (yy - c - ty) / scale + 4.0
+    src_x = (xx - c - tx) / scale + 4.0
+    img = jax.scipy.ndimage.map_coordinates(
+        glyph, [src_y, src_x], order=1, mode="constant", cval=0.0)
+    kern = jnp.ones((3, 3), jnp.float32) / 9.0
+    img = jax.scipy.signal.convolve2d(img, kern, mode="same")
+    return jnp.clip(img * 1.6, 0.0, 1.0)
+
+
+def synthetic_mnist(key: Array, n: int,
+                    classes: Optional[Sequence[int]] = None,
+                    img_size: int = 28) -> Tuple[Array, Array]:
+    """Deterministic procedural MNIST stand-in: (N, H, W, 1) in [0, 1] + labels.
+
+    Class-structured digit glyphs with random affine jitter — enough signal to
+    train the expert nets and exercise every composition pipeline hermetically
+    when the real MNIST IDX files are unavailable (zero-egress environments).
+    """
+    classes = jnp.asarray(list(classes) if classes is not None else range(10))
+    font = _font_array()
+    kl, kr = jax.random.split(key)
+    labels = classes[jax.random.randint(kl, (n,), 0, len(classes))]
+    keys = jax.random.split(kr, n)
+    imgs = jax.vmap(lambda lab, k: _render_digit(font[lab], k, img_size))(
+        labels, keys)
+    return imgs[..., None], labels
+
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic, = struct.unpack(">I", f.read(4))
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+
+def load_mnist(data_dir: Optional[str] = None,
+               classes: Optional[Sequence[int]] = None,
+               split: str = "train") -> Optional[Tuple[Array, Array]]:
+    """Load real MNIST IDX files if present; returns None when unavailable.
+
+    Searches ``data_dir``, $CDX_MNIST_DIR, ./data/MNIST/raw for
+    {train,t10k}-images-idx3-ubyte[.gz].
+    """
+    prefix = "train" if split == "train" else "t10k"
+    candidates = [d for d in
+                  [data_dir, os.environ.get("CDX_MNIST_DIR"),
+                   "data/MNIST/raw", "data"] if d]
+    for d in candidates:
+        for ext in ("", ".gz"):
+            img_p = os.path.join(d, f"{prefix}-images-idx3-ubyte{ext}")
+            lab_p = os.path.join(d, f"{prefix}-labels-idx1-ubyte{ext}")
+            if os.path.exists(img_p) and os.path.exists(lab_p):
+                imgs = _read_idx(img_p).astype(np.float32) / 255.0
+                labels = _read_idx(lab_p).astype(np.int32)
+                if classes is not None:
+                    mask = np.isin(labels, list(classes))
+                    imgs, labels = imgs[mask], labels[mask]
+                return jnp.asarray(imgs)[..., None], jnp.asarray(labels)
+    return None
+
+
+def get_mnist(key: Array, n: int = 8192,
+              classes: Optional[Sequence[int]] = None,
+              data_dir: Optional[str] = None,
+              normalize: bool = True) -> Tuple[Array, Array]:
+    """Real MNIST when available, synthetic otherwise. Images NHWC; [-1, 1]
+    when ``normalize`` (the reference's Lambda(t*2-1) convention)."""
+    real = load_mnist(data_dir, classes)
+    if real is not None:
+        imgs, labels = real
+        if n and n < imgs.shape[0]:
+            sel = jax.random.permutation(key, imgs.shape[0])[:n]
+            imgs, labels = imgs[sel], labels[sel]
+    else:
+        imgs, labels = synthetic_mnist(key, n, classes)
+    if normalize:
+        imgs = imgs * 2.0 - 1.0
+    return imgs, labels
+
+
+# ---------------------------------------------------------------------------
+# Colored MNIST
+# ---------------------------------------------------------------------------
+# Per-digit color LUT (src/composing_colored_mnist.py:160-171).
+DIGIT_COLORS = jnp.array([
+    [0.5, 0.5, 0.5],   # 0 gray
+    [0.0, 0.5, 1.0],   # 1 light blue
+    [0.0, 0.8, 0.0],   # 2 green
+    [0.0, 0.8, 0.8],   # 3 cyan
+    [1.0, 0.5, 0.0],   # 4 orange
+    [1.0, 1.0, 0.0],   # 5 yellow
+    [1.0, 0.0, 0.0],   # 6 red
+    [1.0, 0.0, 1.0],   # 7 magenta
+    [0.5, 0.0, 1.0],   # 8 purple
+    [0.6, 0.3, 0.1],   # 9 brown
+], jnp.float32)
+
+
+def colorize(imgs01: Array, colors: Array) -> Array:
+    """(N, H, W, 1) in [0, 1] x (N, 3) colors -> (N, H, W, 3) in [-1, 1]
+    (white-digit-on-black times color, then *2-1 — the reference's rule)."""
+    rgb = imgs01 * colors[:, None, None, :]
+    return rgb * 2.0 - 1.0
+
+
+def colored_mnist(key: Array, n: int = 8192,
+                  classes: Optional[Sequence[int]] = None,
+                  color_rule: str = "per_digit",
+                  color_override: Optional[Sequence[float]] = None,
+                  data_dir: Optional[str] = None):
+    """Colored-MNIST builder covering the reference's variants:
+    per_digit (D4), label//4 rule (best_of_both_worlds.py:37-54), random color
+    with its own label (D6), or a fixed override color (layout experiments).
+
+    Returns (images (N,H,W,3) [-1,1], digit_labels, color_labels).
+    """
+    k1, k2 = jax.random.split(key)
+    imgs01, labels = get_mnist(k1, n, classes, data_dir, normalize=False)
+    n_actual = imgs01.shape[0]
+    if color_override is not None:
+        colors = jnp.broadcast_to(jnp.asarray(color_override, jnp.float32),
+                                  (n_actual, 3))
+        color_labels = jnp.zeros((n_actual,), jnp.int32)
+    elif color_rule == "per_digit":
+        colors = DIGIT_COLORS[labels]
+        color_labels = labels
+    elif color_rule == "div4":
+        color_labels = labels // 4
+        colors = DIGIT_COLORS[color_labels]
+    elif color_rule == "random":
+        color_labels = jax.random.randint(k2, (n_actual,), 0, 3)
+        colors = _SHAPE_COLOR_RGB[color_labels]
+    else:
+        raise ValueError(f"unknown color_rule: {color_rule!r}")
+    return colorize(imgs01, colors), labels, color_labels
+
+
+# ---------------------------------------------------------------------------
+# Batching
+# ---------------------------------------------------------------------------
+def epoch_batches(key: Array, n: int, batch_size: int) -> Array:
+    """(n // bs, bs) shuffled index matrix for one epoch — feed device-resident
+    datasets via jnp.take inside the jitted step."""
+    perm = jax.random.permutation(key, n)
+    n_batches = n // batch_size
+    return perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+
+
+def infinite_batches(key: Array, n: int, batch_size: int) -> Iterator[Array]:
+    """Infinite shuffled batch-index generator (the reference's sample_data
+    infinite loader, mnist/dataset.py:33-37)."""
+    epoch = 0
+    while True:
+        for idx in epoch_batches(jax.random.fold_in(key, epoch), n, batch_size):
+            yield idx
+        epoch += 1

@@ -1,0 +1,96 @@
+"""ExpertStack: K expert networks as one stacked, vmapped forward.
+
+The reference runs K sequential full forwards per sampler step
+(/root/reference/mnist/compose_scores.py:33-34, src/diffusion/samplers.py:23).
+Here the K parameter pytrees are stacked on a leading axis and applied with a
+single ``jax.vmap`` over parameters — one batched program XLA tiles onto the
+MXU, and the natural unit to shard across an 'expert' mesh axis (SURVEY.md
+§2.8).
+
+Heterogeneous experts (e.g. a 1-channel shape expert + 3-channel color
+expert, shapes/compose_images_ddim.py:80-81) cannot share a stacked pytree;
+group them by signature and blend across groups at the composition point —
+see :func:`grouped_eps_fn`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Params = Any
+
+
+def stack_params(params_list: Sequence[Params]) -> Params:
+    """Stack K identically-shaped parameter pytrees on a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def unstack_params(stacked: Params, k: int) -> List[Params]:
+    return [jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(k)]
+
+
+class ExpertStack:
+    """K same-architecture experts behind one vmapped apply.
+
+    ``apply(x, t, *labels)`` returns an (K, B, ...) eps stack: parameters map
+    over axis 0, data is broadcast. Per-expert labels may be passed as
+    (K, B)-shaped arrays (mapped) or (B,) (broadcast).
+    """
+
+    def __init__(self, apply_fn: Callable[..., Array],
+                 params_list: Sequence[Params]):
+        self.apply_fn = apply_fn
+        self.k = len(params_list)
+        self.params = stack_params(params_list)
+
+    def __call__(self, x: Array, t: Array, *labels: Array) -> Array:
+        in_axes = [0, None, None]
+        for lab in labels:
+            in_axes.append(0 if (hasattr(lab, "ndim") and lab.ndim == 2) else None)
+
+        def apply_one(p, xx, tt, *labs):
+            return self.apply_fn(p, xx, tt, *labs)
+
+        return jax.vmap(apply_one, in_axes=tuple(in_axes))(
+            self.params, x, t, *labels)
+
+
+def grouped_eps_fn(groups: Sequence[Callable[[Array, Array], Array]],
+                   adapters: Sequence[Callable[[Array], Array]] = (),
+                   lifts: Sequence[Callable[[Array], Array]] = ()):
+    """Blend across heterogeneous expert groups.
+
+    Each group is an ``eps_stack_fn(x, t) -> (K_g, B, ...)`` over its own input
+    signature. ``adapters[g]`` maps the sampler's x into the group's input
+    (e.g. RGB -> grayscale), ``lifts[g]`` maps the group's eps back into the
+    sampler's space (e.g. channel broadcast 1 -> 3). Returns a combined
+    eps_stack_fn producing the concatenated (sum K_g, B, ...) stack.
+    """
+    adapters = list(adapters) or [lambda x: x] * len(groups)
+    lifts = list(lifts) or [lambda e: e] * len(groups)
+
+    def eps_stack_fn(x: Array, t: Array) -> Array:
+        outs = []
+        for g, ad, lf in zip(groups, adapters, lifts):
+            eps = g(ad(x), t)
+            outs.append(jax.vmap(lf)(eps))
+        return jnp.concatenate(outs, axis=0)
+
+    return eps_stack_fn
+
+
+def rgb_to_gray(x: Array) -> Array:
+    """ITU-R 601 luma, NHWC (parity with torchvision Grayscale used at
+    shapes/compose_images_ddim.py:31)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def gray_to_rgb(eps: Array) -> Array:
+    """Broadcast a 1-channel prediction to 3 channels (the reference's
+    .repeat(1, 3, 1, 1), compose_images_ddim.py:52)."""
+    return jnp.repeat(eps, 3, axis=-1)

@@ -1,0 +1,39 @@
+"""Time / label embeddings shared by all score models.
+
+Parity target: SinusoidalPosEmb at /root/reference/mnist/models/unet_small.py:7-19
+(log-spaced sin/cos features of the scalar time input).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """(B,) times -> (B, dim) sin/cos features, identical layout to the
+    reference: freqs = exp(-log(10000) * arange(half)/ (half-1)), [sin | cos]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+                    / (half - 1))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimeEmbedding(nn.Module):
+    """SinusoidalPosEmb(base_dim) -> Dense -> SiLU -> Dense, as in the
+    reference UNet time_mlp (/root/reference/mnist/models/unet_small.py:51-56)."""
+
+    base_dim: int
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        h = sinusoidal_embedding(t, self.base_dim)
+        h = nn.Dense(self.emb_dim)(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.emb_dim)(h)
+        return h

@@ -1,0 +1,201 @@
+"""Parameterized score UNet — the single net covering the reference's UNet zoo.
+
+One Flax module replaces (SURVEY.md §2.2):
+  * M1 `UNet` uncond 28x28        /root/reference/mnist/models/unet_small.py:47-92
+  * M2 class-conditional variant   /root/reference/shapes/models/unet_small.py:53-120
+  * M4 `SimpleUnet` (src family)   /root/reference/src/composing_conditional_diffusion_on_shape_and_color.py:107-199
+  * M5 `ColoredMNISTScoreModel`    /root/reference/src/composing_colored_mnist.py:98-136
+  * M6 `GuidedUNet`/cross-attn     /root/reference/src/compositional_diffusion_with_cross_attention.py:86-208
+selected by (channel_mults, label slots, null_token, cross_attn) flags.
+
+TPU-first design decisions:
+  * NHWC layout end-to-end (XLA's native conv layout on TPU — keeps the MXU fed
+    without transposes).
+  * bilinear ``jax.image.resize`` up-path (parity with nn.Upsample bilinear,
+    align_corners handled below) and 2x2 max-pool down-path.
+  * GroupNorm(8) everywhere (the reference's BatchNorm variants are folded in:
+    GN is the TPU-friendly, batch-size-independent choice).
+  * cross-attention runs over HW query tokens x <=2 context tokens — tiny KV,
+    expressed as two einsums that XLA fuses; a Pallas variant lives in
+    ops/attention.py for larger contexts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .embeddings import TimeEmbedding
+
+Array = jax.Array
+
+
+def _upsample2x(x: Array) -> Array:
+    """Bilinear 2x upsample, NHWC.
+
+    The reference uses align_corners=True (mnist/models/unet_small.py:73);
+    jax.image.resize('linear') matches align_corners=False half-pixel centers.
+    For even 2x scale on these tiny maps the difference is sub-pixel and does
+    not change behavior of trained-from-scratch nets; we standardize on the
+    XLA-fusable resize.
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
+
+
+def _maxpool2x(x: Array) -> Array:
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def _gn_groups(channels: int, preferred: int = 8) -> int:
+    """Largest group count <= preferred that divides the channel count
+    (the reference hard-codes GN(8); tiny test widths need fewer)."""
+    for g in (preferred, 4, 2, 1):
+        if channels % g == 0:
+            return g
+    return 1
+
+
+class ResBlock(nn.Module):
+    """GN(8)+SiLU+3x3conv -> +time proj -> GN+SiLU+dropout+3x3conv -> +residual.
+
+    Mirrors /root/reference/mnist/models/unet_small.py:22-44.
+    """
+
+    out_channels: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array, t_emb: Array, *, train: bool = False) -> Array:
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=_gn_groups(in_ch))(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
+        # time conditioning, broadcast over H, W
+        temb = nn.Dense(self.out_channels)(nn.silu(t_emb))
+        h = h + temb[:, None, None, :]
+        h = nn.GroupNorm(num_groups=_gn_groups(self.out_channels))(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1))(x)
+        return h + x
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention from HW image tokens to a tiny label context.
+
+    Behavioral equivalent of the reference's UNetBlock attention
+    (/root/reference/src/compositional_diffusion_with_cross_attention.py:86-141):
+    LayerNorm'd residual attention where K/V come from 1-2 context tokens.
+    """
+
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        tokens = x.reshape(b, h * w, c)
+        tokens_n = nn.LayerNorm()(tokens)
+        q = nn.Dense(c, use_bias=False)(tokens_n)
+        k = nn.Dense(c, use_bias=False)(context)
+        v = nn.Dense(c, use_bias=False)(context)
+
+        def split(z):
+            return z.reshape(z.shape[0], z.shape[1], self.num_heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, jnp.float32))
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
+        out = nn.Dense(c)(out)
+        return x + out.reshape(b, h, w, c)
+
+
+class UNet(nn.Module):
+    """Score network predicting eps_hat(x_t, t [, labels...]).
+
+    Args cover the whole reference zoo:
+      in_channels:    1 (MNIST/grayscale shapes) or 3 (RGB).
+      base_dim:       initial width (64 in mnist/shapes; 32 in M5).
+      channel_mults:  per-level multipliers; last entry is the bottleneck.
+                      (1, 2, 4) == reference small UNet;
+                      (1, 2, 4, 8, 16) == src SimpleUnet depth.
+      num_classes:    sizes of label slots, e.g. () uncond, (3,) shapes,
+                      (3, 3) shape+color, (10, 10) digit+color.
+      null_token:     reserve one extra embedding row per slot for CFG
+                      (pass label == num_classes[i] for "uncond").
+      cross_attn:     attend HW tokens to label-embedding context instead of
+                      adding labels into the time embedding (GuidedUNet).
+    """
+
+    in_channels: int = 1
+    base_dim: int = 64
+    channel_mults: Sequence[int] = (1, 2, 4)
+    time_emb_dim: int = 256
+    num_classes: Sequence[int] = ()
+    null_token: bool = False
+    dropout: float = 0.1
+    cross_attn: bool = False
+    attn_heads: int = 4
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: Array, t: Array, *labels: Array,
+                 train: bool = False) -> Array:
+        assert x.ndim == 4, "expected NHWC input"
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t = jnp.full((x.shape[0],), t)
+        t_emb = TimeEmbedding(self.base_dim, self.time_emb_dim)(t)
+
+        context = None
+        if self.num_classes:
+            assert len(labels) == len(self.num_classes), (
+                f"model takes {len(self.num_classes)} label slots, got {len(labels)}")
+            embs = []
+            for i, n in enumerate(self.num_classes):
+                vocab = n + (1 if self.null_token else 0)
+                embs.append(nn.Embed(vocab, self.time_emb_dim,
+                                     name=f"label_emb_{i}")(labels[i]))
+            if self.cross_attn:
+                context = jnp.stack(embs, axis=1)  # (B, n_slots, emb)
+            else:
+                # reference adds label embedding(s) into the time embedding
+                # (shapes/models/unet_small.py:99-103)
+                t_emb = t_emb + sum(embs)
+
+        n_levels = len(self.channel_mults) - 1
+        h = nn.Conv(self.base_dim * self.channel_mults[0], (3, 3),
+                    padding="SAME", name="init_conv")(x)
+
+        skips = []
+        for i in range(n_levels):
+            h = ResBlock(self.base_dim * self.channel_mults[i],
+                         self.dropout, name=f"down_{i}")(h, t_emb, train=train)
+            if self.cross_attn and context is not None:
+                h = CrossAttention(self.attn_heads, name=f"down_attn_{i}")(h, context)
+            skips.append(h)
+            h = _maxpool2x(h)
+
+        h = ResBlock(self.base_dim * self.channel_mults[-1],
+                     self.dropout, name="bottleneck")(h, t_emb, train=train)
+        if self.cross_attn and context is not None:
+            h = CrossAttention(self.attn_heads, name="bot_attn")(h, context)
+
+        for i in reversed(range(n_levels)):
+            h = _upsample2x(h)
+            h = jnp.concatenate([h, skips[i]], axis=-1)
+            h = ResBlock(self.base_dim * self.channel_mults[i],
+                         self.dropout, name=f"up_{i}")(h, t_emb, train=train)
+            if self.cross_attn and context is not None:
+                h = CrossAttention(self.attn_heads, name=f"up_attn_{i}")(h, context)
+
+        out_ch = self.out_channels or self.in_channels
+        return nn.Conv(out_ch, (1, 1), name="out_conv")(h)

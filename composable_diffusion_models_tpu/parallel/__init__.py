@@ -1,0 +1,7 @@
+from .mesh import (data_sharding, expert_sharding, make_mesh, replicate_pytree,
+                   replicated, shard_batch, shard_pytree_leading)
+
+__all__ = [
+    "make_mesh", "data_sharding", "expert_sharding", "replicated",
+    "shard_batch", "shard_pytree_leading", "replicate_pytree",
+]

@@ -1,0 +1,144 @@
+"""Training: jitted denoising-score-matching steps + device-resident loops.
+
+TPU shape (SURVEY.md §3.1): the dataset lives in HBM, each step gathers its
+batch with ``jnp.take`` inside the jitted step, and whole epochs run as one
+``lax.scan`` — zero host<->device copies in the hot loop (the reference's
+DataLoader-per-batch host boundary disappears).
+
+Loss: eps-prediction MSE, continuous t ~ U(t_min, 1) with q_t
+(/root/reference/mnist/train_image.py:41-53) or discrete t ~ U{0..T-1} with
+q_sample (/root/reference/src/composing_colored_mnist.py:203-234).
+CFG null-token dropout (UNCOND_PROB) follows src/..._5.py:241-242.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .schedules import DDPMSchedule, VPSchedule
+
+Array = jax.Array
+Params = Any
+Schedule = Union[VPSchedule, DDPMSchedule]
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: int = 0
+
+
+def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
+                 t_min: float = 1e-3, uncond_prob: float = 0.0,
+                 null_labels: Optional[Sequence[int]] = None,
+                 time_first: bool = False):
+    """Denoising MSE loss. ``apply_fn(params, x, t, *labels)`` predicts eps
+    (``time_first`` flips to the MLP convention apply_fn(params, t, x, ...))."""
+    discrete = isinstance(schedule, DDPMSchedule)
+
+    def loss_fn(params: Params, key: Array, x0: Array,
+                labels: Tuple[Array, ...] = ()) -> Array:
+        kt, ke, kd = jax.random.split(key, 3)
+        bs = x0.shape[0]
+        if discrete:
+            t = jax.random.randint(kt, (bs,), 0, schedule.num_timesteps)
+            xt, eps = schedule.q_sample(ke, x0, t)
+            t_in = t.astype(jnp.float32)
+        else:
+            t = jax.random.uniform(kt, (bs,), minval=t_min, maxval=1.0)
+            xt, eps = schedule.q_t(ke, x0, t)
+            t_in = t
+        if uncond_prob > 0.0 and labels:
+            assert null_labels is not None
+            drop = jax.random.uniform(kd, (bs,)) < uncond_prob
+            labels = tuple(
+                jnp.where(drop, jnp.asarray(nl, lab.dtype), lab)
+                for lab, nl in zip(labels, null_labels))
+        if time_first:
+            eps_hat = apply_fn(params, t_in, xt, *labels)
+        else:
+            eps_hat = apply_fn(params, xt, t_in, *labels)
+        return jnp.mean((eps_hat - eps) ** 2)
+
+    return loss_fn
+
+
+def make_train_step(loss_fn, tx: optax.GradientTransformation):
+    """One jitted optimizer step; donate params/opt_state for in-place update."""
+
+    @jax.jit
+    def step(params, opt_state, key, x0, labels=()):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, x0, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
+                 schedule: Schedule, images: Array,
+                 labels: Tuple[Array, ...] = (), *, steps: int = 1000,
+                 batch_size: int = 128, lr: float = 2e-4,
+                 uncond_prob: float = 0.0,
+                 null_labels: Optional[Sequence[int]] = None,
+                 time_first: bool = False,
+                 steps_per_scan: int = 100) -> Tuple[Params, Array]:
+    """Train one expert on a device-resident dataset. Returns (params, losses).
+
+    The loop runs as chunks of ``steps_per_scan`` steps fused into single
+    ``lax.scan`` calls; batches are sampled with replacement inside the scan.
+    """
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
+                           null_labels=null_labels, time_first=time_first)
+    n = images.shape[0]
+
+    @jax.jit
+    def run_chunk(params, opt_state, chunk_key):
+        def body(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(chunk_key, i)
+            kb, kl = jax.random.split(k)
+            idx = jax.random.randint(kb, (batch_size,), 0, n)
+            x0 = jnp.take(images, idx, axis=0)
+            batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
+            loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
+                                                      batch_labels)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps_per_scan))
+        return params, opt_state, losses
+
+    all_losses = []
+    n_chunks = max(1, steps // steps_per_scan)
+    for c in range(n_chunks):
+        params, opt_state, losses = run_chunk(
+            params, opt_state, jax.random.fold_in(key, c))
+        all_losses.append(losses)
+    return params, jnp.concatenate(all_losses)
+
+
+def one_step_denoise_val(apply_fn, params, schedule: VPSchedule, key: Array,
+                         shape: Tuple[int, ...], t_val: float = 0.9,
+                         labels: Tuple[Array, ...] = ()) -> Array:
+    """The reference's quick smoke validation: noise -> q_t -> one-step x0
+    estimate (mnist/train_image.py:56-64)."""
+    k1, k2 = jax.random.split(key)
+    noise = jax.random.normal(k1, shape)
+    t = jnp.full((shape[0],), t_val)
+    xt, _ = schedule.q_t(k2, noise, t)
+    eps_hat = apply_fn(params, xt, t, *labels)
+    a = schedule.alpha(t).reshape(-1, 1, 1, 1)
+    s = schedule.sigma(t).reshape(-1, 1, 1, 1)
+    return jnp.clip((xt - s * eps_hat) / a, -1.0, 1.0)

@@ -1,0 +1,80 @@
+"""Shared builders for the CLI entry points: config -> (model, schedule, data).
+
+The reference's entry-point names are preserved (train_image, sample_image,
+sample_latent, compose_scores, compose_images_ddim, compose_images_ito,
+fit_pca, train_latent_2d, superdiff — BASELINE.json 'configs'); each script is
+a thin argparse shim over the library.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from composable_diffusion_models_tpu import data as data_lib
+from composable_diffusion_models_tpu.models import (LatentDiffusionMLP,
+                                                    ScoreMLP, UNet)
+from composable_diffusion_models_tpu.schedules import DDPMSchedule, VPSchedule
+from composable_diffusion_models_tpu.utils.config import Config
+
+
+def build_schedule(cfg: Config):
+    if cfg.schedule.family == "ddpm":
+        return DDPMSchedule(num_timesteps=cfg.schedule.num_timesteps)
+    return VPSchedule(kind=cfg.schedule.kind)
+
+
+def build_model(cfg: Config):
+    m = cfg.model
+    if m.kind == "unet":
+        return UNet(in_channels=m.in_channels, base_dim=m.base_dim,
+                    channel_mults=tuple(m.channel_mults),
+                    time_emb_dim=m.time_emb_dim,
+                    num_classes=tuple(m.num_classes),
+                    null_token=m.null_token, cross_attn=m.cross_attn)
+    if m.kind == "mlp":
+        return ScoreMLP(hidden=m.hidden, depth=m.depth, out_dim=m.latent_dim)
+    if m.kind == "latent_mlp":
+        return LatentDiffusionMLP(latent_dim=m.latent_dim, hidden=m.hidden,
+                                  depth=m.depth,
+                                  num_classes=tuple(m.num_classes),
+                                  null_token=m.null_token)
+    raise ValueError(f"unknown model kind {m.kind!r}")
+
+
+def build_dataset(cfg: Config, key):
+    d = cfg.data
+    if d.dataset == "mnist":
+        imgs, labels = data_lib.get_mnist(key, d.n, d.classes, d.data_dir)
+        return imgs, (labels,)
+    if d.dataset == "colored_mnist":
+        imgs, dl, cl = data_lib.colored_mnist(key, d.n, d.classes,
+                                              d.color_rule,
+                                              data_dir=d.data_dir)
+        return imgs, (dl, cl)
+    if d.dataset == "shapes":
+        imgs, sl, cl = data_lib.make_shapes_dataset(
+            d.n, d.img_size, d.grayscale, list(d.holdout) or None,
+            d.background)
+        return imgs, (sl, cl)
+    if d.dataset == "toy2d":
+        return data_lib.toy2d(key, d.n, up=True), ()
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def init_params(cfg: Config, model, key):
+    m, d = cfg.model, cfg.data
+    if m.kind == "unet":
+        x = jnp.zeros((1, d.img_size, d.img_size, m.in_channels))
+        labels = tuple(jnp.zeros((1,), jnp.int32) for _ in m.num_classes)
+        return model.init(key, x, jnp.ones((1,)), *labels)
+    if m.kind == "mlp":
+        return model.init(key, jnp.ones((1, 1)), jnp.zeros((1, m.latent_dim)))
+    labels = tuple(jnp.zeros((1,), jnp.int32) for _ in m.num_classes)
+    return model.init(key, jnp.ones((1,)), jnp.zeros((1, m.latent_dim)),
+                      *labels)

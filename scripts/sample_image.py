@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Sample from a trained image expert (parity: /root/reference/mnist/sample_image.py
+— whose E-M step is fixed here, see samplers.euler_maruyama docstring).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from _common import build_model, build_schedule, init_params
+from composable_diffusion_models_tpu import samplers
+from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+from composable_diffusion_models_tpu.utils import get_config
+from composable_diffusion_models_tpu.utils.viz import save_grid
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="mnist_image")
+    ap.add_argument("--name", default="expert")
+    ap.add_argument("--sampler", default=None, choices=[None, "em", "ddim", "ode"])
+    ap.add_argument("--out", default="outputs")
+    ap.add_argument("--seed", type=int, default=42)
+    args, overrides = ap.parse_known_args()
+
+    cfg = get_config(args.preset, overrides)
+    if args.sampler:
+        cfg.sample.sampler = args.sampler
+    key = jax.random.PRNGKey(args.seed)
+    schedule = build_schedule(cfg)
+    model = build_model(cfg)
+    mgr = CheckpointManager(args.out, cfg.name)
+    like = {"params": init_params(cfg, model, key), "step": 0}
+    params = mgr.load(args.name, like=like)["params"]
+
+    shape = (cfg.sample.batch_size, cfg.data.img_size, cfg.data.img_size,
+             cfg.model.in_channels)
+    x_init = jax.random.normal(key, shape)
+    eps_fn = lambda x, t: model.apply(params, x, t)
+
+    if cfg.sample.sampler == "em":
+        out = samplers.euler_maruyama(eps_fn, schedule, key, x_init,
+                                      cfg.sample.n_steps, cfg.sample.xi)
+    elif cfg.sample.sampler == "ode":
+        score_fn = lambda x, t: -eps_fn(x, t) / schedule.sigma(t)
+        out = samplers.prob_flow_ode(score_fn, schedule, x_init,
+                                     cfg.sample.n_steps)
+    else:
+        out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)
+
+    path = save_grid(out, f"{mgr.results_dir}/{args.name}_samples.png")
+    print(f"samples saved to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Composition-operator unit tests against hand-computed values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from composable_diffusion_models_tpu import compose
+
+
+def test_weighted_equal_weights_is_mean(key):
+    eps = jax.random.normal(key, (3, 4, 8))
+    out = compose.weighted(eps, jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(eps.mean(0)),
+                               rtol=1e-5)
+
+
+def test_weighted_normalizes():
+    eps = jnp.stack([jnp.ones((2, 3)), jnp.zeros((2, 3))])
+    out = compose.weighted(eps, jnp.array([3.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(out), 0.75, rtol=1e-6)
+
+
+def test_kappa_ito_hand_value():
+    # s1 = [1, 0], s2 = [0, 0] per example; divs 2 and 1; sigma = 0.5
+    s1 = jnp.array([[1.0, 0.0]])
+    s2 = jnp.array([[0.0, 0.0]])
+    divs = (jnp.array([2.0]), jnp.array([1.0]))
+    # kappa = (0.5*(2-1) + <s1, s1-s2>) / ||s1-s2||^2 = (0.5 + 1) / 1 = 1.5
+    k = compose.kappa_ito(0.5, divs, (s1, s2))
+    assert abs(float(k[0]) - 1.5) < 1e-6
+    k_clipped = compose.kappa_ito(0.5, divs, (s1, s2), clip=(-1.0, 1.0))
+    assert abs(float(k_clipped[0]) - 1.0) < 1e-6
+    combined = compose.combine_kappa(k, s1, s2)
+    np.testing.assert_allclose(np.asarray(combined), [[1.5, 0.0]], rtol=1e-6)
+
+
+def test_kappa_ito_identical_scores_degenerates_to_zero():
+    s = jnp.ones((2, 4))
+    k = compose.kappa_ito(0.3, (jnp.zeros(2), jnp.zeros(2)), (s, s))
+    assert bool(jnp.all(jnp.isfinite(k)))
+    np.testing.assert_allclose(np.asarray(compose.combine_kappa(k, s, s)),
+                               np.asarray(s), rtol=1e-5)
+
+
+def test_or_softmax_properties():
+    log_q = jnp.array([[0.0, 10.0], [0.0, 0.0]])  # (K=2, B=2)
+    k = compose.or_softmax(log_q)
+    np.testing.assert_allclose(np.asarray(k.sum(0)), 1.0, rtol=1e-6)
+    assert float(k[0, 1]) > 0.99           # higher log-density wins
+    assert abs(float(k[0, 0]) - 0.5) < 1e-6
+
+
+def test_and_heuristic_inverts_preference():
+    log_q = jnp.array([[10.0], [0.0]])
+    k = compose.and_heuristic(log_q)
+    assert float(k[0, 0]) < 0.01  # denser expert is DOWN-weighted
+
+
+def test_and_solve_exact_system():
+    # Build a system whose unconstrained solution is kappa = (0.25, 0.75):
+    # [[p, q], [1, 1]] k = [r, 1] with p=2, q=-2 -> r = 2*0.25 - 2*0.75 = -1
+    a = jnp.zeros((1, 2, 2)).at[:, 0, 0].set(2.0)  # a00-a10 = 2
+    a = a.at[:, 0, 1].set(-2.0)                    # a01-a11 = -2
+    b = jnp.array([[1.0, 0.0]])                    # r = b1 - b0 = -1
+    k = compose.and_solve(a, b)
+    np.testing.assert_allclose(np.asarray(k), [[0.25, 0.75]], atol=1e-6)
+
+
+def test_and_solve_singular_falls_back_to_half():
+    a = jnp.zeros((1, 2, 2))
+    b = jnp.zeros((1, 2))
+    k = compose.and_solve(a, b)
+    np.testing.assert_allclose(np.asarray(k), [[0.5, 0.5]], atol=1e-6)
+
+
+def test_and_solve_clamps_and_renormalizes():
+    # unconstrained solution far outside [0, 1]
+    a = jnp.zeros((1, 2, 2)).at[:, 0, 0].set(1.0)
+    b = jnp.array([[0.0, 5.0]])  # r = 5 -> k0 = 5, clamp to 1; k1 = -4 -> 0
+    k = compose.and_solve(a, b)
+    np.testing.assert_allclose(np.asarray(k), [[1.0, 0.0]], atol=1e-6)
+
+
+def test_cfg_formula():
+    eu = jnp.zeros((2, 3))
+    ec = jnp.stack([jnp.ones((2, 3)), 2.0 * jnp.ones((2, 3))])
+    out = compose.cfg(eu, ec, jnp.array([0.5, 0.25]))
+    # 0 + 0.5*(1-0) + 0.25*(2-0) = 1.0
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+
+
+def test_resolve_occlusion_disjoint_last_on_top():
+    m0 = jnp.ones((4, 4))
+    m1 = jnp.zeros((4, 4)).at[:2].set(1.0)
+    out = compose.resolve_occlusion(jnp.stack([m0, m1]))
+    # last mask (m1) keeps its full region; m0 keeps the rest
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(m1))
+    np.testing.assert_allclose(np.asarray(out[0] + out[1]), 1.0)
+    assert float(jnp.max(out[0] * out[1])) == 0.0
+
+
+def test_masked_sum():
+    eps = jnp.stack([jnp.ones((1, 4, 4, 3)), -jnp.ones((1, 4, 4, 3))])
+    masks = jnp.stack([jnp.ones((4, 4)).at[:, :2].set(0.0),
+                       jnp.zeros((4, 4)).at[:, :2].set(1.0)])
+    out = compose.masked(eps, masks)
+    np.testing.assert_allclose(np.asarray(out[0, :, :2, 0]), -1.0)
+    np.testing.assert_allclose(np.asarray(out[0, :, 2:, 0]), 1.0)
+
+
+def test_fixed_kappa():
+    eps = jnp.stack([jnp.ones((2, 2)), 3.0 * jnp.ones((2, 2))])
+    out = compose.fixed(eps, jnp.array([0.5, 0.5]))
+    np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-6)

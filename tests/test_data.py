@@ -1,0 +1,117 @@
+"""Data-layer tests: rasterizer geometry, colorization, holdouts, batching."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from composable_diffusion_models_tpu import data
+
+
+class TestShapesRasterizer:
+    def test_circle_area(self):
+        mask = data.rasterize_shape(jnp.asarray(0), 64)
+        # margin 16, shape spans [16, 48] inclusive -> r = 16
+        area = float(mask.sum())
+        assert abs(area - math.pi * 16**2) / (math.pi * 16**2) < 0.05
+
+    def test_square_bounds(self):
+        mask = np.asarray(data.rasterize_shape(jnp.asarray(1), 64))
+        assert mask[16, 16] == 1 and mask[48, 48] == 1
+        assert mask[15, 16] == 0 and mask[16, 15] == 0
+        assert float(mask.sum()) == 33.0 * 33.0
+
+    def test_triangle_geometry(self):
+        mask = np.asarray(data.rasterize_shape(jnp.asarray(2), 64))
+        assert mask[47, 32] == 1      # near base center, inside
+        assert mask[17, 32] == 1      # apex
+        assert mask[17, 16] == 0      # top-left corner, outside
+        # base row fully filled between the corners
+        assert mask[48, 16] == 1 and mask[48, 48] == 1
+
+    def test_dataset_labels_cycle_and_range(self):
+        imgs, sl, cl = data.make_shapes_dataset(18, 32)
+        assert imgs.shape == (18, 32, 32, 3)
+        assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0
+        # all 9 combinations present exactly twice
+        combos = {(int(s), int(c)) for s, c in zip(sl, cl)}
+        assert len(combos) == 9
+
+    def test_holdout_excluded(self):
+        _, sl, cl = data.make_shapes_dataset(80, 32, holdout=[(0, 0), (2, 1)])
+        combos = {(int(s), int(c)) for s, c in zip(sl, cl)}
+        assert (0, 0) not in combos and (2, 1) not in combos
+        assert len(combos) == 7
+
+    def test_grayscale_and_white_bg(self):
+        imgs, _, _ = data.make_shapes_dataset(9, 32, grayscale=True,
+                                              background="white")
+        assert imgs.shape == (9, 32, 32, 1)
+        # white background -> corners are +1
+        assert float(imgs[0, 0, 0, 0]) == 1.0
+
+
+class TestMNIST:
+    def test_synthetic_class_filter(self, key):
+        imgs, labels = data.synthetic_mnist(key, 64, classes=[3, 7])
+        assert imgs.shape == (64, 28, 28, 1)
+        assert set(np.asarray(labels).tolist()) <= {3, 7}
+        assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+        # digits are visibly class-structured: different classes differ
+        m3 = np.asarray(imgs[np.asarray(labels) == 3]).mean(0)
+        m7 = np.asarray(imgs[np.asarray(labels) == 7]).mean(0)
+        assert np.abs(m3 - m7).max() > 0.2
+
+    def test_synthetic_deterministic(self, key):
+        a, la = data.synthetic_mnist(key, 8)
+        b, lb = data.synthetic_mnist(key, 8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_get_mnist_normalized(self, key):
+        imgs, _ = data.get_mnist(key, 16, classes=[0, 1])
+        assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0
+        assert float(imgs.min()) < -0.5  # background is -1
+
+
+class TestColoredMNIST:
+    def test_per_digit_colors(self, key):
+        imgs, labels, cl = data.colored_mnist(key, 32, classes=[6])
+        assert imgs.shape[-1] == 3
+        np.testing.assert_array_equal(np.asarray(labels), np.asarray(cl))
+        arr = np.asarray(imgs)
+        # digit 6 is red: green/blue channels stay at background (-1)
+        assert arr[..., 1].max() <= -0.99
+        assert arr[..., 0].max() > 0.5
+
+    def test_div4_rule(self, key):
+        _, labels, cl = data.colored_mnist(key, 32, color_rule="div4")
+        np.testing.assert_array_equal(np.asarray(cl),
+                                      np.asarray(labels) // 4)
+
+    def test_override_color(self, key):
+        imgs, _, _ = data.colored_mnist(key, 8, color_override=(0.0, 1.0, 0.0))
+        arr = np.asarray(imgs)
+        assert arr[..., 0].max() <= -0.99 and arr[..., 1].max() > 0.5
+
+
+class TestToy2D:
+    def test_up_down_halves(self, key):
+        up = data.toy2d(key, 512, up=True)
+        down = data.toy2d(key, 512, up=False)
+        assert float(up[:, 1].mean()) > 1.0     # y in {1.5}
+        assert float(down[:, 1].mean()) < -1.0
+        assert abs(float(up[:, 0].mean())) < 0.3  # x in {-1.5, 1.5}
+
+
+class TestBatching:
+    def test_epoch_batches_is_permutation(self, key):
+        idx = data.epoch_batches(key, 100, 10)
+        assert idx.shape == (10, 10)
+        assert len(set(np.asarray(idx).ravel().tolist())) == 100
+
+    def test_infinite_batches_cycles(self, key):
+        gen = data.infinite_batches(key, 20, 8)
+        seen = [next(gen) for _ in range(5)]  # crosses an epoch boundary
+        assert all(b.shape == (8,) for b in seen)

@@ -1,0 +1,66 @@
+"""End-to-end sanity pipelines (the reference's --sanity fast path, SURVEY §4.1),
+fully jitted on the CPU backend: train real (tiny) experts, compose, sample."""
+
+import jax
+import jax.numpy as jnp
+
+from composable_diffusion_models_tpu import compose, data, experts, samplers, train
+from composable_diffusion_models_tpu.models import ScoreMLP, UNet
+from composable_diffusion_models_tpu.schedules import VPSchedule
+
+
+def test_2d_superposition_pipeline(key):
+    """The notebook workload (SURVEY §7.2 step 1-2): train up/down experts on
+    the 4-Gaussian halves, compose with the Ito-kappa AND path."""
+    sch = VPSchedule(kind="jax_faithful")
+    m = ScoreMLP(hidden=64, depth=2, out_dim=2)
+    p0 = m.init(key, jnp.ones((4, 1)), jnp.zeros((4, 2)))
+
+    def train_one(k, up):
+        pts = data.toy2d(k, 4096, up=up)
+        # net learns sdlogqdx: loss (eps + net)^2 -> net = -eps = sigma*score
+        p, _ = train.train_expert(k, lambda pp, t, x: -m.apply(pp, t, x),
+                                  p0, sch, pts, steps=400, batch_size=512,
+                                  lr=2e-3, time_first=True, steps_per_scan=200)
+        return p
+
+    p_up = train_one(jax.random.fold_in(key, 1), True)
+    p_down = train_one(jax.random.fold_in(key, 2), False)
+
+    def score_fn(p):
+        return lambda x, t: m.apply(p, jnp.full((x.shape[0],), t), x)
+
+    x_init = jax.random.normal(key, (256, 2))
+    out, ll = samplers.superposition_2d((score_fn(p_up), score_fn(p_down)),
+                                        sch, key, x_init, 200)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # AND of up-half and down-half should concentrate near the shared x-modes
+    # (x = +-1.5); check samples stay inside the data support box
+    assert float(jnp.abs(out).max()) < 6.0
+    assert bool(jnp.all(jnp.isfinite(ll)))
+
+
+def test_mnist_compose_pipeline(key):
+    """Minimum image slice (SURVEY §7.3): train two digit experts, compose
+    with weighted blend under DDIM — mnist/run_composition.sh in miniature."""
+    sch = VPSchedule()
+    m = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    imgs_a, _ = data.get_mnist(jax.random.fold_in(key, 1), 128, classes=[0])
+    imgs_b, _ = data.get_mnist(jax.random.fold_in(key, 2), 128, classes=[1])
+    p0 = m.init(key, jnp.zeros((1, 28, 28, 1)), jnp.ones((1,)))
+
+    pa, _ = train.train_expert(key, m.apply, p0, sch, imgs_a, steps=30,
+                               batch_size=32, steps_per_scan=30)
+    pb, _ = train.train_expert(key, m.apply, p0, sch, imgs_b, steps=30,
+                               batch_size=32, steps_per_scan=30)
+
+    stack = experts.ExpertStack(m.apply, [pa, pb])
+    eps_fn = lambda x, t: compose.weighted(stack(x, t), jnp.array([1.0, 1.0]))
+    x_init = jax.random.normal(key, (4, 28, 28, 1))
+    out = jax.jit(lambda x: samplers.ddim(eps_fn, sch, x, 10))(x_init)
+    assert out.shape == (4, 28, 28, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # the same expert stack drives the E-M composer (compose_scores parity)
+    out2 = samplers.euler_maruyama(eps_fn, sch, key, x_init, 10)
+    assert bool(jnp.all(jnp.isfinite(out2)))

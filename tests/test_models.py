@@ -1,0 +1,160 @@
+"""Model-zoo tests: shapes, conditioning, expert stacking exactness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_diffusion_models_tpu import experts
+from composable_diffusion_models_tpu.models import (BetaVAE, LatentDiffusionMLP,
+                                                    ScoreMLP, UNet, vae_loss)
+
+TINY = dict(base_dim=8, channel_mults=(1, 2, 4))
+
+
+@pytest.mark.parametrize("size,ch", [(28, 1), (64, 3)])
+def test_unet_shape(key, size, ch):
+    m = UNet(in_channels=ch, **TINY)
+    x = jnp.zeros((2, size, size, ch))
+    t = jnp.ones((2,))
+    p = m.init(key, x, t)
+    assert m.apply(p, x, t).shape == (2, size, size, ch)
+
+
+def test_unet_deep_variant(key):
+    # src SimpleUnet depth (SURVEY M4): 4 levels + bottleneck
+    m = UNet(in_channels=3, base_dim=4, channel_mults=(1, 2, 4, 8, 16))
+    x = jnp.zeros((1, 32, 32, 3))
+    p = m.init(key, x, jnp.ones((1,)))
+    assert m.apply(p, x, jnp.ones((1,))).shape == (1, 32, 32, 3)
+
+
+def test_unet_time_sensitivity(key):
+    m = UNet(in_channels=1, **TINY)
+    x = jax.random.normal(key, (1, 28, 28, 1))
+    p = m.init(key, x, jnp.ones((1,)))
+    a = m.apply(p, x, jnp.full((1,), 0.1))
+    b = m.apply(p, x, jnp.full((1,), 0.9))
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-4
+
+
+def test_unet_label_conditioning(key):
+    m = UNet(in_channels=1, num_classes=(3,), **TINY)
+    x = jax.random.normal(key, (2, 28, 28, 1))
+    t = jnp.ones((2,))
+    lab0 = jnp.zeros((2,), jnp.int32)
+    lab1 = jnp.ones((2,), jnp.int32)
+    p = m.init(key, x, t, lab0)
+    a, b = m.apply(p, x, t, lab0), m.apply(p, x, t, lab1)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-4
+
+
+def test_unet_null_token_slot(key):
+    m = UNet(in_channels=1, num_classes=(3,), null_token=True, **TINY)
+    x = jnp.zeros((1, 28, 28, 1))
+    t = jnp.ones((1,))
+    p = m.init(key, x, t, jnp.zeros((1,), jnp.int32))
+    # label == num_classes is the reserved null row, must not crash
+    out = m.apply(p, x, t, jnp.full((1,), 3, jnp.int32))
+    assert out.shape == (1, 28, 28, 1)
+
+
+def test_unet_cross_attention(key):
+    m = UNet(in_channels=3, num_classes=(10, 3), null_token=True,
+             cross_attn=True, **TINY)
+    x = jax.random.normal(key, (2, 28, 28, 3))
+    t = jnp.ones((2,))
+    d = jnp.zeros((2,), jnp.int32)
+    c = jnp.ones((2,), jnp.int32)
+    p = m.init(key, x, t, d, c)
+    a = m.apply(p, x, t, d, c)
+    b = m.apply(p, x, t, jnp.full((2,), 5, jnp.int32), c)
+    assert a.shape == (2, 28, 28, 3)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-5
+
+
+def test_score_mlp_time_broadcast(key):
+    m = ScoreMLP(hidden=32, depth=2, out_dim=2)
+    x = jax.random.normal(key, (4, 2))
+    p = m.init(key, jnp.ones((4, 1)), x)
+    a = m.apply(p, jnp.full((4,), 0.5), x)
+    b = m.apply(p, jnp.full((4, 1), 0.5), x)
+    c = m.apply(p, jnp.asarray(0.5), x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
+
+
+def test_latent_mlp_cfg_slots(key):
+    m = LatentDiffusionMLP(latent_dim=4, hidden=32, depth=2,
+                           num_classes=(5, 3), null_token=True)
+    z = jax.random.normal(key, (2, 4))
+    p = m.init(key, jnp.ones((2,)), z, jnp.zeros((2,), jnp.int32),
+               jnp.zeros((2,), jnp.int32))
+    out = m.apply(p, jnp.ones((2,)), z, jnp.full((2,), 5, jnp.int32),
+                  jnp.full((2,), 3, jnp.int32))
+    assert out.shape == (2, 4)
+
+
+def test_expert_stack_matches_individual(key):
+    m = UNet(in_channels=1, base_dim=4, channel_mults=(1, 2))
+    x = jax.random.normal(key, (2, 8, 8, 1))
+    t = jnp.ones((2,))
+    ps = [m.init(jax.random.fold_in(key, i), x, t) for i in range(3)]
+    stack = experts.ExpertStack(m.apply, ps)
+    out = stack(x, t)
+    assert out.shape[0] == 3
+    for i, p in enumerate(ps):
+        np.testing.assert_allclose(np.asarray(out[i]),
+                                   np.asarray(m.apply(p, x, t)), atol=1e-5)
+
+
+def test_expert_stack_per_expert_labels(key):
+    m = UNet(in_channels=1, base_dim=4, channel_mults=(1, 2),
+             num_classes=(3,))
+    x = jax.random.normal(key, (2, 8, 8, 1))
+    t = jnp.ones((2,))
+    lab = jnp.zeros((2,), jnp.int32)
+    ps = [m.init(jax.random.fold_in(key, i), x, t, lab) for i in range(2)]
+    stack = experts.ExpertStack(m.apply, ps)
+    per_expert = jnp.array([[0, 0], [2, 2]], jnp.int32)  # (K, B)
+    out = stack(x, t, per_expert)
+    np.testing.assert_allclose(
+        np.asarray(out[1]),
+        np.asarray(m.apply(ps[1], x, t, per_expert[1])), atol=1e-5)
+
+
+def test_grouped_heterogeneous_experts(key):
+    g_model = UNet(in_channels=1, base_dim=4, channel_mults=(1, 2))
+    c_model = UNet(in_channels=3, base_dim=4, channel_mults=(1, 2))
+    xg = jnp.zeros((2, 8, 8, 1))
+    xc = jnp.zeros((2, 8, 8, 3))
+    t = jnp.ones((2,))
+    gp = g_model.init(key, xg, t)
+    cp = c_model.init(key, xc, t)
+    gs = experts.ExpertStack(g_model.apply, [gp])
+    cs = experts.ExpertStack(c_model.apply, [cp])
+    fn = experts.grouped_eps_fn(
+        [lambda x, tt: gs(x, tt), lambda x, tt: cs(x, tt)],
+        adapters=[experts.rgb_to_gray, lambda x: x],
+        lifts=[experts.gray_to_rgb, lambda e: e])
+    out = fn(jax.random.normal(key, (2, 8, 8, 3)), t)
+    assert out.shape == (2, 2, 8, 8, 3)
+
+
+def test_rgb_gray_roundtrip_shapes(key):
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    g = experts.rgb_to_gray(x)
+    assert g.shape == (2, 8, 8, 1)
+    assert experts.gray_to_rgb(g).shape == (2, 8, 8, 3)
+
+
+def test_vae_roundtrip(key):
+    vae = BetaVAE(img_size=28, latent_dim=6)
+    x = jnp.clip(jax.random.uniform(key, (2, 28, 28, 1)), 0, 1)
+    p = vae.init(key, x, key)
+    recon, mu, lv = vae.apply(p, x, key)
+    assert recon.shape == x.shape and mu.shape == (2, 6)
+    loss = vae_loss(recon, x, mu, lv, beta=4.0)
+    assert bool(jnp.isfinite(loss))
+    z = vae.apply(p, mu, method=BetaVAE.decode)
+    assert z.shape == x.shape

@@ -1,0 +1,181 @@
+"""Sampler tests against analytic Gaussian fixtures (SURVEY.md §4a/§7.4):
+for x0 ~ N(0, I) the optimal eps-predictor and score are closed-form, so each
+integrator's output distribution is checkable without training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from composable_diffusion_models_tpu import compose, samplers
+from composable_diffusion_models_tpu.schedules import DDPMSchedule, VPSchedule
+
+SCH = VPSchedule()
+BS = 512
+
+
+def gaussian_eps_fn(x, t):
+    """E[eps | x_t] for x0 ~ N(0, I) under a VP schedule: eps = sigma_t x."""
+    return SCH.sigma(t) * x
+
+
+def test_ddim_preserves_standard_normal(key):
+    x_init = jax.random.normal(key, (BS, 2))
+    out = samplers.ddim(gaussian_eps_fn, SCH, x_init, 100, clip=None)
+    assert abs(float(out.std()) - 1.0) < 0.1
+    assert abs(float(out.mean())) < 0.1
+
+
+def test_euler_maruyama_preserves_standard_normal(key):
+    x_init = jax.random.normal(key, (BS, 2))
+    out = samplers.euler_maruyama(gaussian_eps_fn, SCH, key, x_init, 200)
+    assert abs(float(out.std()) - 1.0) < 0.15
+    assert abs(float(out.mean())) < 0.1
+
+
+def test_prob_flow_ode_preserves_standard_normal(key):
+    x_init = jax.random.normal(key, (BS, 2))
+    score_fn = lambda x, t: -gaussian_eps_fn(x, t) / SCH.sigma(t)
+    out = samplers.prob_flow_ode(score_fn, SCH, x_init, 200)
+    assert abs(float(out.std()) - 1.0) < 0.1
+
+
+def test_ddpm_ancestral_standard_normal(key):
+    sde = DDPMSchedule(num_timesteps=100)
+
+    def eps_fn(x, ti):
+        return sde.sqrt_one_minus_alphas_cumprod[ti] * x
+
+    x_init = jax.random.normal(key, (BS, 2))
+    out = samplers.ddpm_ancestral(eps_fn, sde, jax.random.fold_in(key, 1),
+                                  x_init, clip=None)
+    assert abs(float(out.std()) - 1.0) < 0.1
+
+
+def test_superdiff_identical_experts_equals_single(key):
+    """With K identical experts any kappa convexly sums to the single score,
+    so SUPERDIFF must reproduce ddpm_ancestral bit-for-bit (same key)."""
+    sde = DDPMSchedule(num_timesteps=50)
+
+    def eps_fn(x, ti):
+        return sde.sqrt_one_minus_alphas_cumprod[ti] * x
+
+    def eps_stack_fn(x, ti):
+        e = eps_fn(x, ti)
+        return jnp.stack([e, e])
+
+    x_init = jax.random.normal(key, (16, 2))
+    k2 = jax.random.fold_in(key, 7)
+    a = samplers.superdiff(eps_stack_fn, sde, k2, x_init, "OR", clip=None)
+    b = samplers.ddpm_ancestral(eps_fn, sde, k2, x_init, clip=None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_superdiff_or_favors_denser_expert(key):
+    """OR with a tight expert (x0 = delta(mu)) vs a broad one: samples should
+    split toward the modes rather than average them."""
+    sde = DDPMSchedule(num_timesteps=100)
+    mu = jnp.array([2.0, 0.0])
+
+    def eps_point(mu):
+        # x_t = sqrt(abar) mu + sqrt(1-abar) eps -> E[eps|x_t] exact
+        def fn(x, ti):
+            sa = sde.sqrt_alphas_cumprod[ti]
+            s1m = sde.sqrt_one_minus_alphas_cumprod[ti]
+            return (x - sa * mu) / s1m
+        return fn
+
+    f1, f2 = eps_point(mu), eps_point(-mu)
+    stack_fn = lambda x, ti: jnp.stack([f1(x, ti), f2(x, ti)])
+    x_init = jax.random.normal(key, (128, 2))
+    out = samplers.superdiff(stack_fn, sde, jax.random.fold_in(key, 3),
+                             x_init, "OR", clip=None)
+    # every sample should be near one of the two modes, not near the midpoint
+    d1 = jnp.linalg.norm(out - mu, axis=1)
+    d2 = jnp.linalg.norm(out + mu, axis=1)
+    assert float(jnp.minimum(d1, d2).mean()) < 1.0
+    # both modes populated
+    assert 0.1 < float((d1 < d2).mean()) < 0.9
+
+
+def test_superdiff_and_solve_runs_between_modes(key):
+    sde = DDPMSchedule(num_timesteps=100)
+    mu = jnp.array([1.0, 0.0])
+
+    def eps_point(m):
+        def fn(x, ti):
+            sa = sde.sqrt_alphas_cumprod[ti]
+            s1m = sde.sqrt_one_minus_alphas_cumprod[ti]
+            return (x - sa * m) / s1m
+        return fn
+
+    stack_fn = lambda x, ti: jnp.stack([eps_point(mu)(x, ti),
+                                        eps_point(-mu)(x, ti)])
+    x_init = jax.random.normal(key, (32, 2))
+    out = samplers.superdiff_and_solve(stack_fn, sde,
+                                       jax.random.fold_in(key, 4),
+                                       x_init, mode="AND")
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # AND seeks the equal-density locus (x-axis midline here)
+    assert abs(float(out[:, 0].mean())) < 0.6
+
+
+def test_ito_kappa_ode_equal_density_locus(key):
+    """Two point-mass experts at +/-mu: the Ito-kappa AND path should end
+    near the perpendicular bisector (|x . e1| small)."""
+    sch = VPSchedule(kind="jax_faithful")
+    mu = jnp.array([1.0, 0.0])
+
+    def score_fn(m):
+        # sdlogqdx = sigma * grad log N(alpha m, sigma^2 I) = (alpha m - x)/sigma
+        def fn(x, t):
+            return (sch.alpha(t) * m - x) / sch.sigma(t)
+        return fn
+
+    x_init = jax.random.normal(key, (64, 2))
+    out = samplers.ito_kappa_ode((score_fn(mu), score_fn(-mu)), sch,
+                                 jax.random.fold_in(key, 5), x_init, 200)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert abs(float(out[:, 0].mean())) < 0.3
+
+
+def test_superposition_2d_identical_experts_equal_ll(key):
+    sch = VPSchedule(kind="jax_faithful")
+    fn = lambda x, t: (sch.alpha(t) * jnp.array([0.5, 0.5]) - x) / sch.sigma(t)
+    x_init = jax.random.normal(key, (32, 2))
+    out, ll = samplers.superposition_2d((fn, fn), sch, key, x_init, 100)
+    np.testing.assert_allclose(np.asarray(ll[0]), np.asarray(ll[1]),
+                               rtol=1e-4, atol=1e-4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_layout_identical_experts_mask_invariance(key):
+    sde = DDPMSchedule(num_timesteps=50)
+
+    def eps_fn(x, ti):
+        return sde.sqrt_one_minus_alphas_cumprod[ti] * x
+
+    stack2 = lambda x, ti: jnp.stack([eps_fn(x, ti), eps_fn(x, ti)])
+    stack1 = lambda x, ti: jnp.stack([eps_fn(x, ti)])
+    x_init = jax.random.normal(key, (4, 8, 8, 3))
+    half = jnp.zeros((8, 8)).at[:4].set(1.0)
+    a = samplers.layout(stack2, sde, key, x_init,
+                        jnp.stack([jnp.ones((8, 8)), half]))
+    b = samplers.layout(stack1, sde, key, x_init, jnp.ones((1, 8, 8)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cfg_eps_fn_zero_weights_is_uncond(key):
+    calls = {}
+
+    def apply_fn(x, t, lab):
+        calls["labels"] = lab
+        return x * (1.0 + lab.astype(x.dtype).reshape(-1, 1))
+
+    fn = samplers.make_cfg_eps_fn(apply_fn,
+                                  [(jnp.asarray(0),), (jnp.asarray(1),)],
+                                  (jnp.asarray(2),), jnp.array([0.0, 0.0]))
+    x = jax.random.normal(key, (3, 4))
+    out = fn(x, jnp.asarray(0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x * 3.0), rtol=1e-5)
+    # fan-out batched into ONE forward: labels length = (K+1) * B
+    assert calls["labels"].shape[0] == 9

@@ -1,0 +1,139 @@
+"""Schedule identity tests (SURVEY.md §4a): every (alpha, sigma, beta, g2)
+bundle must be internally consistent, and analytic derivatives must match
+autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_diffusion_models_tpu.schedules import DDPMSchedule, VPSchedule
+
+TS = jnp.linspace(1e-3, 1.0, 64)
+
+
+class TestVPStable:
+    sch = VPSchedule(kind="stable")
+
+    def test_variance_preserving(self):
+        err = self.sch.alpha(TS) ** 2 + self.sch.sigma(TS) ** 2 - 1.0
+        assert float(jnp.max(jnp.abs(err))) < 1e-4
+
+    def test_log_alpha_closed_form(self):
+        t = 0.37
+        expected = -0.5 * t * 0.1 - 0.25 * t**2 * (20.0 - 0.1)
+        assert abs(float(self.sch.log_alpha(t)) - expected) < 1e-6
+
+    def test_dlog_alpha_matches_autodiff(self):
+        g = jax.vmap(jax.grad(lambda t: self.sch.log_alpha(t)))(TS)
+        assert float(jnp.max(jnp.abs(g - self.sch.dlog_alpha_dt(TS)))) < 1e-5
+
+    def test_beta_definition(self):
+        expected = -2.0 * self.sch.dlog_alpha_dt(TS) * self.sch.sigma(TS) ** 2
+        assert float(jnp.max(jnp.abs(self.sch.beta(TS) - expected))) < 1e-6
+
+    def test_g2_definition(self):
+        expected = -2.0 * self.sch.dlog_alpha_dt(TS)
+        assert float(jnp.max(jnp.abs(self.sch.g2(TS) - expected))) < 1e-6
+
+    def test_q_t_moments(self, key):
+        x0 = jnp.ones((4096, 2)) * 3.0
+        t = jnp.full((4096,), 0.5)
+        xt, eps = self.sch.q_t(key, x0, t)
+        a, s = float(self.sch.alpha(0.5)), float(self.sch.sigma(0.5))
+        assert abs(float(xt.mean()) - 3.0 * a) < 0.05
+        assert abs(float(xt.std()) - s) < 0.05
+        # reconstruction identity
+        assert float(jnp.max(jnp.abs(xt - (a * x0 + s * eps)))) < 1e-5
+
+
+class TestVPJaxFaithful:
+    sch = VPSchedule(kind="jax_faithful")
+
+    def test_sigma_is_t(self):
+        # exp(log(t + 1e-9)) round-trips within fp32 ulp noise
+        assert float(jnp.max(jnp.abs(self.sch.sigma(TS) - TS))) < 5e-5
+
+    def test_beta_notebook_form(self):
+        t = TS
+        expected = 1.0 + 0.5 * t * 0.1 + 0.5 * t**2 * (20.0 - 0.1)
+        assert float(jnp.max(jnp.abs(self.sch.beta(t) - expected))) < 1e-4
+
+    def test_g2_consistent_with_sigma(self):
+        # variance ODE: g2 = d(sigma^2)/dt - 2 dlog_alpha sigma^2, sigma' = 1
+        s = self.sch.sigma(TS)
+        expected = 2 * s - 2 * s**2 * self.sch.dlog_alpha_dt(TS)
+        assert float(jnp.max(jnp.abs(self.sch.g2(TS) - expected))) < 1e-4
+
+    def test_notebook_beta_is_half_g2_over_sigma(self):
+        # the identity that makes the notebook ODE the prob-flow ODE
+        lhs = self.sch.beta(TS)
+        rhs = 0.5 * self.sch.g2(TS) / self.sch.sigma(TS)
+        assert float(jnp.max(jnp.abs(lhs - rhs))) < 1e-3
+
+    def test_g2_matches_variance_ode_autodiff(self):
+        # g2 = d(sigma^2)/dt - 2 dlog_alpha sigma^2 via autodiff, both kinds
+        for sch in (VPSchedule(kind="stable"), self.sch):
+            dsig2 = jax.vmap(jax.grad(lambda t: sch.sigma(t) ** 2))(TS)
+            expected = dsig2 - 2 * sch.dlog_alpha_dt(TS) * sch.sigma(TS) ** 2
+            err = jnp.abs(sch.g2(TS) - expected)
+            assert float(jnp.max(err)) < 5e-2, sch.kind
+
+    def test_kinds_never_mixed(self):
+        with pytest.raises(ValueError):
+            VPSchedule(kind="bogus")
+
+
+class TestDDPM:
+    sde = DDPMSchedule(num_timesteps=100)
+
+    def test_beta_linspace(self):
+        np.testing.assert_allclose(np.asarray(self.sde.betas),
+                                   np.linspace(1e-4, 0.02, 100,
+                                               dtype=np.float32), rtol=1e-6)
+
+    def test_cumprod_and_prev(self):
+        ac = np.asarray(self.sde.alphas_cumprod)
+        np.testing.assert_allclose(ac, np.cumprod(1 - np.asarray(self.sde.betas)),
+                                   rtol=1e-5)
+        prev = np.asarray(self.sde.alphas_cumprod_prev)
+        assert prev[0] == 1.0
+        np.testing.assert_allclose(prev[1:], ac[:-1], rtol=1e-6)
+
+    def test_posterior_variance(self):
+        b = np.asarray(self.sde.betas)
+        ac = np.asarray(self.sde.alphas_cumprod)
+        acp = np.asarray(self.sde.alphas_cumprod_prev)
+        np.testing.assert_allclose(np.asarray(self.sde.posterior_variance),
+                                   b * (1 - acp) / (1 - ac), rtol=1e-5)
+
+    def test_q_sample_moments(self, key):
+        x0 = jnp.full((4096, 4), 2.0)
+        t = jnp.full((4096,), 50, jnp.int32)
+        xt, _ = self.sde.q_sample(key, x0, t)
+        a = float(self.sde.sqrt_alphas_cumprod[50])
+        s = float(self.sde.sqrt_one_minus_alphas_cumprod[50])
+        assert abs(float(xt.mean()) - 2.0 * a) < 0.05
+        assert abs(float(xt.std()) - s) < 0.05
+
+    def test_fd_sde_tables_finite_and_signed(self):
+        f, g2 = self.sde.fd_sde_tables()
+        assert bool(jnp.all(jnp.isfinite(f))) and bool(jnp.all(jnp.isfinite(g2)))
+        assert bool(jnp.all(f <= 0))   # log alpha decreases
+        assert bool(jnp.all(g2 >= 1e-8))
+
+    def test_sde_coeffs_canonical_convention(self):
+        f_c, g2 = self.sde.sde_coeffs(jnp.asarray(7))
+        assert abs(float(f_c) + 0.5 * float(self.sde.betas[7])) < 1e-8
+        assert abs(float(g2) - float(self.sde.betas[7])) < 1e-8
+
+
+def test_ddim_table_grid():
+    sch = VPSchedule()
+    tbl = sch.ddim_table(50)
+    assert tbl.shape == (50, 4)
+    ts = jnp.linspace(1.0, 1e-3, 51)
+    np.testing.assert_allclose(np.asarray(tbl[:, 0]),
+                               np.asarray(sch.alpha(ts[:-1])), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tbl[:, 3]),
+                               np.asarray(sch.sigma(ts[1:])), rtol=1e-6)

@@ -1,0 +1,113 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh (SURVEY.md §4d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from composable_diffusion_models_tpu import compose, experts, samplers
+from composable_diffusion_models_tpu.models import UNet
+from composable_diffusion_models_tpu.parallel import (data_sharding, make_mesh,
+                                                      shard_batch,
+                                                      shard_pytree_leading)
+from composable_diffusion_models_tpu.parallel.train import (
+    make_dp_train_step, make_expert_parallel_train_step, shard_expert_batch)
+from composable_diffusion_models_tpu.schedules import VPSchedule
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_mesh_construction():
+    mesh = make_mesh({"expert": 2, "data": -1})
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("expert", "data")
+
+
+def test_data_parallel_train_step(key):
+    mesh = make_mesh({"data": 8})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params = model.init(key, x0, jnp.ones((1,)))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_dp_train_step(model.apply, VPSchedule(), tx, mesh)
+    batch = shard_batch(jax.random.normal(key, (16, 16, 16, 1)), mesh)
+    with mesh:
+        params, opt_state, loss = step(params, opt_state, key, batch)
+    assert bool(jnp.isfinite(loss))
+
+
+def test_dp_matches_single_device(key):
+    """The sharded step must produce the SAME numbers as unsharded jit."""
+    mesh = make_mesh({"data": 8})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params = model.init(key, x0, jnp.ones((1,)))
+    # SGD: Adam's first-step normalization amplifies fp reduction-order noise
+    tx = optax.sgd(1e-2)
+    step = make_dp_train_step(model.apply, VPSchedule(), tx, mesh)
+    batch = jax.random.normal(key, (16, 16, 16, 1))
+    with mesh:
+        p1, _, loss1 = step(params, tx.init(params), key, shard_batch(batch, mesh))
+    p2, _, loss2 = step(params, tx.init(params), key, batch)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_expert_parallel_train_step(key):
+    mesh = make_mesh({"expert": 2, "data": 4})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params_list = [model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)))
+                   for i in range(2)]
+    stacked = experts.stack_params(params_list)
+    stacked = shard_pytree_leading(stacked, mesh, "expert")
+    tx = optax.adam(1e-3)
+    stacked_opt = jax.jit(jax.vmap(tx.init))(stacked)
+    step = make_expert_parallel_train_step(model.apply, VPSchedule(), tx, mesh)
+    batch = shard_expert_batch(jax.random.normal(key, (2, 8, 16, 16, 1)), mesh)
+    with mesh:
+        new_params, _, losses = step(stacked, stacked_opt, key, batch)
+        jax.block_until_ready(losses)
+    assert losses.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    # experts actually moved independently
+    leaves_old = jax.tree_util.tree_leaves(stacked)
+    leaves_new = jax.tree_util.tree_leaves(new_params)
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in
+               zip(leaves_old, leaves_new))
+
+
+def test_expert_sharded_sampler(key):
+    """3-expert DDIM with the expert stack sharded over the 'expert' axis:
+    the blend point crosses the axis via an XLA collective."""
+    mesh = make_mesh({"expert": 4, "data": 2})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params_list = [model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)))
+                   for i in range(4)]
+    stack = experts.ExpertStack(model.apply, params_list)
+    stack.params = shard_pytree_leading(stack.params, mesh, "expert")
+    w = jnp.ones((4,))
+    eps_fn = lambda x, t: compose.weighted(stack(x, t), w)
+    x_init = jax.random.normal(key, (4, 16, 16, 1))
+    with mesh:
+        out = jax.jit(lambda x: samplers.ddim(eps_fn, VPSchedule(), x, 5))(x_init)
+        jax.block_until_ready(out)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_graft_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    mod.dryrun_multichip(8)

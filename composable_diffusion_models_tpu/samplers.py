@@ -144,7 +144,8 @@ def prob_flow_ode(score_fn: EpsFn, schedule: VPSchedule, x_init: Array,
 # ---------------------------------------------------------------------------
 def ddpm_ancestral(eps_fn: EpsFn, sde: DDPMSchedule, key: Array,
                    x_init: Array,
-                   clip: Optional[Tuple[float, float]] = (-1.0, 1.0)) -> Array:
+                   clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
+                   noise_scale: float = 1.0) -> Array:
     """Ancestral DDPM in the score form of the canonical SuperDiff class
     (/root/reference/src/diffusion/samplers.py:61-81):
 
@@ -164,7 +165,7 @@ def ddpm_ancestral(eps_fn: EpsFn, sde: DDPMSchedule, key: Array,
         score = -eps_hat / s1m
         mean = (x + beta * score) / sqrt_a
         k, sub = jax.random.split(k)
-        noise = jax.random.normal(sub, x.shape, x.dtype)
+        noise = noise_scale * jax.random.normal(sub, x.shape, x.dtype)
         x = jnp.where(ti > 0, mean + jnp.sqrt(row[4]) * noise, mean)
         return (x, k), None
 
@@ -180,7 +181,8 @@ def ddpm_ancestral(eps_fn: EpsFn, sde: DDPMSchedule, key: Array,
 def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
               key: Array, x_init: Array, operation: str = "OR",
               temp: float = 1.0, bias: float = 0.0,
-              clip: Optional[Tuple[float, float]] = (-1.0, 1.0)) -> Array:
+              clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
+              noise_scale: float = 1.0) -> Array:
     """Density-tracked composition (parity:
     /root/reference/src/diffusion/samplers.py:12-59).
 
@@ -217,7 +219,7 @@ def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
         combined = jnp.sum(kb * scores, axis=0)
         mean = (x + beta * combined) / sqrt_a
         k, sub = jax.random.split(k)
-        noise = jax.random.normal(sub, x.shape, x.dtype)
+        noise = noise_scale * jax.random.normal(sub, x.shape, x.dtype)
         x_prev = jnp.where(ti > 0, mean + jnp.sqrt(pvar) * noise, mean)
         dx = x_prev - x
         div_f = -0.5 * beta * d

@@ -28,9 +28,14 @@ from composable_diffusion_models_tpu.schedules import VPSchedule
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16):
+def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
+          use_pallas: bool = False):
     key = jax.random.PRNGKey(0)
-    model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4))
+    # compute dtype bf16 end-to-end (flax modules cast params + activations;
+    # without the model-level dtype the first GroupNorm silently upcasts the
+    # whole net to fp32 and throughput drops ~2-4x)
+    model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4),
+                 dtype=dtype, use_pallas=use_pallas)
     x0 = jnp.zeros((1, 28, 28, 1))
     params_list = [
         jax.tree_util.tree_map(
@@ -54,8 +59,9 @@ def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16):
     return sample
 
 
-def run(batch_size: int, base_dim: int, iters: int = 5):
-    sample = build(batch_size, base_dim)
+def run(batch_size: int, base_dim: int, iters: int = 5,
+        use_pallas: bool = False):
+    sample = build(batch_size, base_dim, use_pallas=use_pallas)
     key = jax.random.PRNGKey(1)
     # compile + warmup
     jax.block_until_ready(sample(key))
@@ -76,12 +82,14 @@ def main():
     ap.add_argument("--base_dim", type=int, default=64,
                     help="reference mnist UNet width (unet_small.py:49)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas GroupNorm+SiLU in the resblocks")
     args = ap.parse_args()
 
     best_ips, best_bs, best_t = 0.0, 0, 0.0
     for bs in [int(b) for b in args.batch_sizes.split(",")]:
         try:
-            ips, t = run(bs, args.base_dim, args.iters)
+            ips, t = run(bs, args.base_dim, args.iters, args.use_pallas)
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
             continue

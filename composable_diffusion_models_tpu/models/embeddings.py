@@ -7,6 +7,7 @@ Parity target: SinusoidalPosEmb at /root/reference/mnist/models/unet_small.py:7-
 from __future__ import annotations
 
 import math
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,11 +30,12 @@ class TimeEmbedding(nn.Module):
 
     base_dim: int
     emb_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, t: jax.Array) -> jax.Array:
         h = sinusoidal_embedding(t, self.base_dim)
-        h = nn.Dense(self.emb_dim)(h)
+        h = nn.Dense(self.emb_dim, dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Dense(self.emb_dim)(h)
+        h = nn.Dense(self.emb_dim, dtype=self.dtype)(h)
         return h

@@ -22,12 +22,13 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops import pallas_kernels as pk
 from .embeddings import TimeEmbedding
 
 Array = jax.Array
@@ -59,30 +60,57 @@ def _gn_groups(channels: int, preferred: int = 8) -> int:
     return 1
 
 
+class GNSiLU(nn.Module):
+    """GroupNorm + SiLU with an optional fused Pallas kernel (TPU).
+
+    Param layout ({scale, bias}) is identical in both paths, so checkpoints
+    are interchangeable; the fallback path matches flax GroupNorm + silu
+    exactly (tested in tests/test_pallas_kernels.py).
+    """
+
+    dtype: Any = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        groups = _gn_groups(c)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        out = pk.groupnorm_silu(x, scale, bias, groups=groups,
+                                use_pallas=self.use_pallas)
+        return out.astype(self.dtype or x.dtype)
+
+
 class ResBlock(nn.Module):
     """GN(8)+SiLU+3x3conv -> +time proj -> GN+SiLU+dropout+3x3conv -> +residual.
 
-    Mirrors /root/reference/mnist/models/unet_small.py:22-44.
+    Mirrors /root/reference/mnist/models/unet_small.py:22-44. ``dtype`` is the
+    COMPUTE dtype (bf16 on TPU keeps the convs on the MXU's fast path — flax
+    norms otherwise silently upcast everything downstream to fp32); params
+    stay in ``param_dtype``.
     """
 
     out_channels: int
     dropout: float = 0.1
+    dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array, *, train: bool = False) -> Array:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_gn_groups(in_ch))(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
+        h = GNSiLU(self.dtype, self.use_pallas, name="gn1")(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype)(h)
         # time conditioning, broadcast over H, W
-        temb = nn.Dense(self.out_channels)(nn.silu(t_emb))
+        temb = nn.Dense(self.out_channels, dtype=self.dtype)(nn.silu(t_emb))
         h = h + temb[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_gn_groups(self.out_channels))(h)
-        h = nn.silu(h)
+        h = GNSiLU(self.dtype, self.use_pallas, name="gn2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype)(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1))(x)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         return h + x
 
 
@@ -95,16 +123,17 @@ class CrossAttention(nn.Module):
     """
 
     num_heads: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
         tokens = x.reshape(b, h * w, c)
-        tokens_n = nn.LayerNorm()(tokens)
-        q = nn.Dense(c, use_bias=False)(tokens_n)
-        k = nn.Dense(c, use_bias=False)(context)
-        v = nn.Dense(c, use_bias=False)(context)
+        tokens_n = nn.LayerNorm(dtype=self.dtype)(tokens)
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype)(tokens_n)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype)(context)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype)(context)
 
         def split(z):
             return z.reshape(z.shape[0], z.shape[1], self.num_heads, head_dim)
@@ -112,9 +141,9 @@ class CrossAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(head_dim, jnp.float32))
-        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
-        out = nn.Dense(c)(out)
+        out = nn.Dense(c, dtype=self.dtype)(out)
         return x + out.reshape(b, h, w, c)
 
 
@@ -145,6 +174,8 @@ class UNet(nn.Module):
     cross_attn: bool = False
     attn_heads: int = 4
     out_channels: Optional[int] = None
+    dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t: Array, *labels: Array,
@@ -153,7 +184,8 @@ class UNet(nn.Module):
         t = jnp.asarray(t)
         if t.ndim == 0:
             t = jnp.full((x.shape[0],), t)
-        t_emb = TimeEmbedding(self.base_dim, self.time_emb_dim)(t)
+        t_emb = TimeEmbedding(self.base_dim, self.time_emb_dim,
+                              dtype=self.dtype)(t)
 
         context = None
         if self.num_classes:
@@ -163,6 +195,7 @@ class UNet(nn.Module):
             for i, n in enumerate(self.num_classes):
                 vocab = n + (1 if self.null_token else 0)
                 embs.append(nn.Embed(vocab, self.time_emb_dim,
+                                     dtype=self.dtype,
                                      name=f"label_emb_{i}")(labels[i]))
             if self.cross_attn:
                 context = jnp.stack(embs, axis=1)  # (B, n_slots, emb)
@@ -173,29 +206,39 @@ class UNet(nn.Module):
 
         n_levels = len(self.channel_mults) - 1
         h = nn.Conv(self.base_dim * self.channel_mults[0], (3, 3),
-                    padding="SAME", name="init_conv")(x)
+                    padding="SAME", dtype=self.dtype, name="init_conv")(x)
 
         skips = []
         for i in range(n_levels):
             h = ResBlock(self.base_dim * self.channel_mults[i],
-                         self.dropout, name=f"down_{i}")(h, t_emb, train=train)
+                         self.dropout, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
+                         name=f"down_{i}")(h, t_emb, train=train)
             if self.cross_attn and context is not None:
-                h = CrossAttention(self.attn_heads, name=f"down_attn_{i}")(h, context)
+                h = CrossAttention(self.attn_heads, dtype=self.dtype,
+                                   name=f"down_attn_{i}")(h, context)
             skips.append(h)
             h = _maxpool2x(h)
 
         h = ResBlock(self.base_dim * self.channel_mults[-1],
-                     self.dropout, name="bottleneck")(h, t_emb, train=train)
+                     self.dropout, dtype=self.dtype,
+                     use_pallas=self.use_pallas,
+                     name="bottleneck")(h, t_emb, train=train)
         if self.cross_attn and context is not None:
-            h = CrossAttention(self.attn_heads, name="bot_attn")(h, context)
+            h = CrossAttention(self.attn_heads, dtype=self.dtype,
+                               name="bot_attn")(h, context)
 
         for i in reversed(range(n_levels)):
             h = _upsample2x(h)
             h = jnp.concatenate([h, skips[i]], axis=-1)
             h = ResBlock(self.base_dim * self.channel_mults[i],
-                         self.dropout, name=f"up_{i}")(h, t_emb, train=train)
+                         self.dropout, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
+                         name=f"up_{i}")(h, t_emb, train=train)
             if self.cross_attn and context is not None:
-                h = CrossAttention(self.attn_heads, name=f"up_attn_{i}")(h, context)
+                h = CrossAttention(self.attn_heads, dtype=self.dtype,
+                                   name=f"up_attn_{i}")(h, context)
 
         out_ch = self.out_channels or self.in_channels
-        return nn.Conv(out_ch, (1, 1), name="out_conv")(h)
+        # output head in fp32 for a numerically clean eps prediction
+        return nn.Conv(out_ch, (1, 1), name="out_conv")(h.astype(jnp.float32))

@@ -1,0 +1,197 @@
+"""Pallas TPU kernels for the framework's hot ops (north-star items):
+
+  * ``groupnorm_silu``  — fused GroupNorm + SiLU, one VMEM pass per sample
+                          (the ResBlock's norm+act, mnist/models/unet_small.py:25-33)
+  * ``blend_eps``       — fused K-expert weighted eps blend
+                          (mnist/compose_scores.py:37)
+  * ``matmul``          — tiled MXU GEMM used by the PCA codec's
+                          encode/decode (mnist/train_latent_2d.py:51)
+
+Every op has an XLA fallback (`use_pallas=False` or non-TPU backend) so
+correctness never depends on Pallas (SURVEY.md §7.2 step 7). Kernels follow
+/opt/skills/guides/pallas_guide.md: VMEM block specs, static shapes,
+preferred_element_type on dots.
+
+MEASURED (v5e, 50-step DDIM bench, bs 512 bf16): the fused groupnorm_silu
+kernel is ~2x SLOWER end-to-end than XLA's own GN+SiLU fusion (260 vs 511
+img/s) — the per-sample grid breaks XLA's producer/consumer fusion around the
+convs. It therefore defaults OFF on the model path (UNet(use_pallas=False));
+kept as a correct, tested reference point for kernel work (don't hand-schedule
+what the compiler already fuses).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def use_pallas_default() -> bool:
+    env = os.environ.get("CDX_USE_PALLAS")
+    if env is not None:
+        return env == "1"
+    return False  # measured slower than XLA fusion on the UNet path; opt-in
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm + SiLU
+# ---------------------------------------------------------------------------
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, groups: int,
+                    eps: float):
+    # one sample per program: two full-lane passes over (HW, C) — a channel
+    # sum pass, tiny per-group stats, then fused normalize+affine+SiLU
+    x = x_ref[0].astype(jnp.float32)            # (HW, C)
+    hw, c = x.shape
+    cg = c // groups
+    # group-membership one-hot (C, G): Mosaic-friendly 2D iota + compare
+    # (vector reshapes like (C,) -> (G, cg) are unsupported shape casts)
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    member = (ch_ids == g_ids).astype(jnp.float32)          # (C, G)
+    ch_sum = jnp.sum(x, axis=0, keepdims=True)              # (1, C)
+    ch_sq = jnp.sum(x * x, axis=0, keepdims=True)
+    g_sum = jnp.dot(ch_sum, member,
+                    preferred_element_type=jnp.float32)      # (1, G)
+    g_sq = jnp.dot(ch_sq, member, preferred_element_type=jnp.float32)
+    n = float(hw * cg)
+    g_mean = g_sum / n
+    g_var = g_sq / n - g_mean * g_mean
+    inv = jax.lax.rsqrt(g_var + eps)
+    mean_c = jnp.dot(g_mean, member.T,
+                     preferred_element_type=jnp.float32)     # (1, C)
+    inv_c = jnp.dot(inv, member.T, preferred_element_type=jnp.float32)
+    scale = scale_ref[0].astype(jnp.float32)[None, :]
+    bias = bias_ref[0].astype(jnp.float32)[None, :]
+    a = inv_c * scale                            # fold affine into one FMA
+    b = bias - mean_c * a
+    y = x * a + b
+    out_ref[0] = (y * jax.nn.sigmoid(y)).astype(out_ref.dtype)
+
+
+def groupnorm_silu(x: Array, scale: Array, bias: Array, groups: int = 8,
+                   eps: float = 1e-5, use_pallas: bool | None = None) -> Array:
+    """SiLU(GroupNorm(x)) over NHWC input; per-sample, per-group statistics
+    over (H, W, C/groups) — identical semantics to flax GroupNorm + silu."""
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    b, h, w, c = x.shape
+    assert c % groups == 0
+    if not use_pallas:
+        xr = x.reshape(b, h * w, groups, c // groups).astype(jnp.float32)
+        mean = xr.mean(axis=(1, 3), keepdims=True)
+        var = xr.var(axis=(1, 3), keepdims=True)
+        norm = ((xr - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+        y = norm * scale + bias
+        return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+    xf = x.reshape(b, h * w, c)
+    kernel = functools.partial(_gn_silu_kernel, groups=groups, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
+    )(xf, scale.reshape(1, c), bias.reshape(1, c))
+    return out.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# fused K-expert weighted blend
+# ---------------------------------------------------------------------------
+def _blend_kernel(eps_ref, w_ref, out_ref):
+    k = eps_ref.shape[0]
+    acc = jnp.zeros(eps_ref.shape[1:], jnp.float32)
+    wsum = jnp.zeros((), jnp.float32)
+    for i in range(k):                           # static unroll over experts
+        wi = w_ref[0, i]
+        acc = acc + wi * eps_ref[i].astype(jnp.float32)
+        wsum = wsum + wi
+    out_ref[:] = (acc / wsum).astype(out_ref.dtype)
+
+
+def blend_eps(eps_stack: Array, weights: Array,
+              use_pallas: bool | None = None) -> Array:
+    """Normalized weighted sum over the leading expert axis:
+    sum_i w_i eps_i / sum_i w_i  (compose.weighted's kernel form)."""
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    k = eps_stack.shape[0]
+    if not use_pallas:
+        w = weights.reshape((k,) + (1,) * (eps_stack.ndim - 1))
+        return (jnp.sum(w * eps_stack, 0) / jnp.sum(weights)).astype(
+            eps_stack.dtype)
+
+    flat = eps_stack.reshape(k, eps_stack.shape[1], -1)
+    out = pl.pallas_call(
+        _blend_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, k), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(flat.shape[1:], eps_stack.dtype),
+    )(flat, weights.reshape(1, k).astype(jnp.float32))
+    return out.reshape(eps_stack.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# tiled MXU GEMM (PCA encode/decode)
+# ---------------------------------------------------------------------------
+def _matmul_kernel(a_ref, b_ref, out_ref):
+    out_ref[:] = jnp.dot(a_ref[:], b_ref[:],
+                         preferred_element_type=jnp.float32).astype(
+        out_ref.dtype)
+
+
+def matmul(a: Array, b: Array, tile_m: int = 256, tile_n: int = 256,
+           use_pallas: bool | None = None) -> Array:
+    """a @ b with M/N tiling (full-K blocks); pads to tile multiples."""
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if not use_pallas:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(
+            a.dtype)
+
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2
+
+    def rup(v, t):
+        return -(-v // t) * t
+
+    mp, np_, kp = rup(m, tile_m), rup(n, tile_n), rup(k, 128)
+    a_p = jnp.pad(a, ((0, mp - m), (0, kp - k)))
+    b_p = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+    out = pl.pallas_call(
+        _matmul_kernel,
+        grid=(mp // tile_m, np_ // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_m, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), a.dtype),
+    )(a_p, b_p)
+    return out[:m, :n]

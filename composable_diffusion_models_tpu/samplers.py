@@ -76,6 +76,29 @@ def euler_maruyama(eps_fn: EpsFn, schedule: VPSchedule, key: Array,
     return x
 
 
+def euler_maruyama_traj(eps_fn: EpsFn, schedule: VPSchedule, key: Array,
+                        x_init: Array, n_steps: int, xi: float = 1.0,
+                        t_max: float = 1.0, t_min: float = 1e-3) -> Array:
+    """As :func:`euler_maruyama` but returns the whole (n_steps+1, B, ...)
+    trajectory (the reference's snapshot-history visualizations,
+    mnist/visualize_composition_latent.py:72-73). Intended for low-dim
+    latents; images at every step would be memory-heavy."""
+    table = schedule.ode_table(n_steps, t_max, t_min)
+
+    def body(carry, row):
+        x, k = carry
+        t, dloga, g2, sigma, dt = row[0], row[1], row[2], row[3], row[4]
+        score = -eps_fn(x, t) / sigma
+        drift = dloga * x - 0.5 * (1.0 + xi) * g2 * score
+        k, sub = jax.random.split(k)
+        noise = jax.random.normal(sub, x.shape, x.dtype)
+        x = x - drift * dt + jnp.sqrt(xi * g2 * dt) * noise
+        return (x, k), x
+
+    (_, _), traj = jax.lax.scan(body, (x_init, key), table)
+    return jnp.concatenate([x_init[None], traj], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # I2 — DDIM (deterministic, continuous-time parameterization)
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ class ModelConfig:
     hidden: int = 512                  # mlp family
     depth: int = 4
     latent_dim: int = 2
+    dtype: str = "float32"             # compute dtype: float32 | bfloat16
 
 
 @dataclasses.dataclass
@@ -167,9 +168,11 @@ def _coerce(old: Any, val: str) -> Any:
         return int(val)
     if isinstance(old, float):
         return float(val)
-    if isinstance(old, tuple) or (old is None and val.startswith("(")):
+    if isinstance(old, tuple) or val.startswith(("(", "[")):
         parsed = json.loads(val.replace("(", "[").replace(")", "]"))
         return tuple(tuple(p) if isinstance(p, list) else p for p in parsed)
+    if old is None and val.lower() in ("none", "null"):
+        return None
     return val
 
 

@@ -31,12 +31,14 @@ def build_schedule(cfg: Config):
 
 def build_model(cfg: Config):
     m = cfg.model
+    dtype = jnp.bfloat16 if m.dtype == "bfloat16" else None
     if m.kind == "unet":
         return UNet(in_channels=m.in_channels, base_dim=m.base_dim,
                     channel_mults=tuple(m.channel_mults),
                     time_emb_dim=m.time_emb_dim,
                     num_classes=tuple(m.num_classes),
-                    null_token=m.null_token, cross_attn=m.cross_attn)
+                    null_token=m.null_token, cross_attn=m.cross_attn,
+                    dtype=dtype)
     if m.kind == "mlp":
         return ScoreMLP(hidden=m.hidden, depth=m.depth, out_dim=m.latent_dim)
     if m.kind == "latent_mlp":

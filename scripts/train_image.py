@@ -29,6 +29,9 @@ def main():
                     help="JSON list of class ids to train on, e.g. [0,1]")
     ap.add_argument("--conditional", action="store_true",
                     help="pass dataset labels to the model")
+    ap.add_argument("--label_slots", default=None,
+                    help="JSON indices into the dataset label tuple, e.g. "
+                         "[1] to condition the color expert on color labels")
     ap.add_argument("--sanity", action="store_true")
     ap.add_argument("--out", default="outputs")
     args, overrides = ap.parse_known_args()
@@ -43,7 +46,14 @@ def main():
     schedule = build_schedule(cfg)
     model = build_model(cfg)
     images, labels = build_dataset(cfg, jax.random.fold_in(key, 1))
-    train_labels = labels[: len(cfg.model.num_classes)] if args.conditional else ()
+    if args.conditional:
+        if args.label_slots:
+            slots = json.loads(args.label_slots)
+            train_labels = tuple(labels[s] for s in slots)
+        else:
+            train_labels = labels[: len(cfg.model.num_classes)]
+    else:
+        train_labels = ()
 
     params = init_params(cfg, model, jax.random.fold_in(key, 2))
     params, losses = train.train_expert(

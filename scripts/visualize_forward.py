@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Forward-process diagnostic (parity:
+/root/reference/mnist/visualize_forward_latent.py:44-69 and
+shapes/visualize_forward_shapes.py): scatter PCA latents (or image pixels'
+mean/std) under q_t across a time grid to validate schedule + codec."""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import build_dataset
+from composable_diffusion_models_tpu.ops.pca import load_pca
+from composable_diffusion_models_tpu.schedules import VPSchedule
+from composable_diffusion_models_tpu.utils import get_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="mnist_latent2d")
+    ap.add_argument("--pca", default="outputs/pca")
+    ap.add_argument("--out", default="outputs/forward_diag.png")
+    args, overrides = ap.parse_known_args()
+
+    cfg = get_config(args.preset, overrides)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    schedule = VPSchedule(kind=cfg.schedule.kind)
+    images, (labels, *_) = build_dataset(cfg, key)
+    z = load_pca(args.pca).encode(images)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    t_grid = [1e-3, 0.2, 0.4, 0.6, 0.8, 1.0]
+    fig, axes = plt.subplots(1, len(t_grid), figsize=(4 * len(t_grid), 4))
+    lim = float(jnp.abs(z).max()) * 1.2
+    for ax, t in zip(axes, t_grid):
+        xt, _ = schedule.q_t(jax.random.fold_in(key, int(t * 1000)), z,
+                             jnp.full((z.shape[0],), t))
+        for lab in np.unique(np.asarray(labels)):
+            sel = np.asarray(labels) == lab
+            ax.scatter(*np.asarray(xt)[sel].T, s=3, alpha=0.3)
+        ax.set_title(f"t={t}")
+        ax.set_xlim(-lim, lim)
+        ax.set_ylim(-lim, lim)
+        ax.grid(True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    fig.savefig(args.out, bbox_inches="tight", dpi=100)
+    print(f"forward-process panels saved to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

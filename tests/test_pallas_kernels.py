@@ -1,0 +1,61 @@
+"""Pallas kernel correctness vs the XLA fallbacks (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from composable_diffusion_models_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    # CPU backend: run the kernels in the Pallas interpreter
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_groupnorm_silu_matches_fallback(key):
+    x = jax.random.normal(key, (2, 8, 8, 16))
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (16,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (16,)) * 0.1
+    ref = pk.groupnorm_silu(x, scale, bias, groups=4, use_pallas=False)
+    out = pk.groupnorm_silu(x, scale, bias, groups=4, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_groupnorm_silu_matches_flax(key):
+    import flax.linen as nn
+
+    x = jax.random.normal(key, (2, 6, 6, 8))
+    gn = nn.GroupNorm(num_groups=4)
+    p = gn.init(key, x)
+    ref = nn.silu(gn.apply(p, x))
+    out = pk.groupnorm_silu(x, p["params"]["scale"], p["params"]["bias"],
+                            groups=4, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    out_k = pk.groupnorm_silu(x, p["params"]["scale"], p["params"]["bias"],
+                              groups=4, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=1e-4)
+
+
+def test_blend_eps_matches_weighted(key):
+    from composable_diffusion_models_tpu import compose
+
+    eps = jax.random.normal(key, (3, 2, 8, 8, 4))
+    w = jnp.array([1.0, 2.0, 0.5])
+    ref = compose.weighted(eps, w)
+    out = pk.blend_eps(eps, w, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(64, 32, 48), (130, 784, 2)])
+def test_matmul_matches_xla(key, shape):
+    m, k, n = shape
+    a = jax.random.normal(key, (m, k))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (k, n))
+    ref = a @ b
+    out = pk.matmul(a, b, tile_m=128, tile_n=128, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)

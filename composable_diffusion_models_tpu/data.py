@@ -294,6 +294,38 @@ def colored_mnist(key: Array, n: int = 8192,
 
 
 # ---------------------------------------------------------------------------
+# CIFAR-10 (D8): local binary batches if present; no network egress
+# ---------------------------------------------------------------------------
+def load_cifar10(data_dir: Optional[str] = None,
+                 classes: Optional[Sequence[int]] = None
+                 ) -> Optional[Tuple[Array, Array]]:
+    """Read the CIFAR-10 binary batches (data_batch_*.bin) if present under
+    ``data_dir``/$CDX_CIFAR_DIR/./data/cifar-10-batches-bin. Returns
+    (images NHWC in [-1, 1], labels) or None when unavailable (the class-split
+    loader of src/composing_colored_mnist.py:321-329)."""
+    candidates = [d for d in [data_dir, os.environ.get("CDX_CIFAR_DIR"),
+                              "data/cifar-10-batches-bin", "data"] if d]
+    for d in candidates:
+        batches = sorted(
+            p for p in (os.path.join(d, f"data_batch_{i}.bin")
+                        for i in range(1, 6)) if os.path.exists(p))
+        if not batches:
+            continue
+        imgs, labels = [], []
+        for p in batches:
+            raw = np.fromfile(p, np.uint8).reshape(-1, 3073)
+            labels.append(raw[:, 0].astype(np.int32))
+            imgs.append(raw[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        imgs = np.concatenate(imgs).astype(np.float32) / 255.0
+        labels = np.concatenate(labels)
+        if classes is not None:
+            mask = np.isin(labels, list(classes))
+            imgs, labels = imgs[mask], labels[mask]
+        return jnp.asarray(imgs) * 2.0 - 1.0, jnp.asarray(labels)
+    return None
+
+
+# ---------------------------------------------------------------------------
 # Batching
 # ---------------------------------------------------------------------------
 def epoch_batches(key: Array, n: int, batch_size: int) -> Array:

@@ -115,3 +115,20 @@ class TestBatching:
         gen = data.infinite_batches(key, 20, 8)
         seen = [next(gen) for _ in range(5)]  # crosses an epoch boundary
         assert all(b.shape == (8,) for b in seen)
+
+
+def test_cifar10_returns_none_when_absent():
+    assert data.load_cifar10("/nonexistent") is None
+
+
+def test_cifar10_parses_binary_batches(tmp_path):
+    rng = np.random.default_rng(0)
+    rec = np.zeros((10, 3073), np.uint8)
+    rec[:, 0] = np.arange(10) % 10
+    rec[:, 1:] = rng.integers(0, 256, (10, 3072))
+    (tmp_path / "data_batch_1.bin").write_bytes(rec.tobytes())
+    out = data.load_cifar10(str(tmp_path), classes=[0, 1])
+    assert out is not None
+    imgs, labels = out
+    assert imgs.shape == (2, 32, 32, 3)
+    assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0

@@ -63,17 +63,28 @@ def run(batch_size: int, base_dim: int, iters: int = 5,
         use_pallas: bool = False):
     sample = build(batch_size, base_dim, use_pallas=use_pallas)
     key = jax.random.PRNGKey(1)
+
+    def sync(out):
+        # force a scalar host fetch: on the tunneled runtime
+        # block_until_ready can return before compute finishes
+        return float(out.ravel()[0])
+
     # compile + warmup
-    jax.block_until_ready(sample(key))
-    jax.block_until_ready(sample(jax.random.fold_in(key, 1)))
-    times = []
+    sync(sample(key))
+    sync(sample(jax.random.fold_in(key, 1)))
+    # sustained throughput: issue all batches back-to-back (distinct inputs —
+    # the runtime caches identical executions), then force ONE dependent
+    # scalar fetch; device work is serialized so it covers every batch and
+    # amortizes the ~35 ms tunnel round-trip
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
     for i in range(iters):
-        k = jax.random.fold_in(key, 2 + i)
-        t0 = time.perf_counter()
-        jax.block_until_ready(sample(k))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    return batch_size / best, best
+        out = sample(jax.random.fold_in(key, 2 + i))
+        acc = acc + out.ravel()[0]
+    float(acc)
+    total = time.perf_counter() - t0
+    per_batch = total / iters
+    return batch_size / per_batch, per_batch
 
 
 def main():

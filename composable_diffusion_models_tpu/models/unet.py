@@ -44,7 +44,14 @@ def _upsample2x(x: Array) -> Array:
     XLA-fusable resize.
     """
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
+    # same values as jax.image.resize(..., "linear"), but expressed as two
+    # small matmuls so the op lands on the MXU instead of the gather units
+    # (the interp matrices are built BY resize on an identity, then
+    # constant-folded by XLA — exact equivalence by linearity)
+    mh = jax.image.resize(jnp.eye(h, dtype=jnp.float32), (2 * h, h), "linear")
+    mw = jax.image.resize(jnp.eye(w, dtype=jnp.float32), (2 * w, w), "linear")
+    y = jnp.einsum("Hh,bhwc->bHwc", mh.astype(x.dtype), x)
+    return jnp.einsum("Ww,bhwc->bhWc", mw.astype(x.dtype), y)
 
 
 def _maxpool2x(x: Array) -> Array:

@@ -55,6 +55,48 @@ class CheckpointManager:
             return self._ckptr.restore(path, target)
         return self._ckptr.restore(path)
 
+    # -- step-level resume (new capability over the reference's save-only
+    #    checkpoints, SURVEY.md §5.3/5.4: preemption recovery) ---------------
+    def _step_path(self, name: str, step: int) -> str:
+        return os.path.join(self.ckpt_dir, f"{name}_step_{step:09d}")
+
+    def save_step(self, name: str, state: Pytree, step: int,
+                  keep: int = 3) -> str:
+        """Save a resumable training state at ``step``; prune to ``keep``
+        most recent step checkpoints (keep-latest-k)."""
+        path = self._step_path(name, step)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        for old in self.step_list(name)[:-keep]:
+            import shutil
+            shutil.rmtree(self._step_path(name, old), ignore_errors=True)
+        return path
+
+    def step_list(self, name: str):
+        """Sorted steps for which a step checkpoint of ``name`` exists."""
+        prefix = f"{name}_step_"
+        steps = []
+        for d in os.listdir(self.ckpt_dir):
+            if d.startswith(prefix):
+                try:
+                    steps.append(int(d[len(prefix):]))
+                except ValueError:
+                    continue
+        return sorted(steps)
+
+    def restore_latest(self, name: str, like: Pytree):
+        """Restore the newest step checkpoint. Returns (state, step) or
+        (None, 0) when no step checkpoint exists."""
+        steps = self.step_list(name)
+        if not steps:
+            return None, 0
+        step = steps[-1]
+        target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, like)
+        return self._ckptr.restore(self._step_path(name, step), target), step
+
 
 def save_checkpoint(path: str, state: Pytree) -> str:
     """Flat save (the mnist/utils.py style): state = {params, opt_state?, step}."""

@@ -326,6 +326,41 @@ def load_cifar10(data_dir: Optional[str] = None,
 
 
 # ---------------------------------------------------------------------------
+# Dataset registry (D5 — the reference's get_dataset dispatch,
+# src/compose_grayscale_object_and_color.py:34-110)
+# ---------------------------------------------------------------------------
+def get_dataset(name: str, key: Array, n: int = 8192, **kw):
+    """Build a named dataset. Returns (images, *label_arrays).
+
+    Names: mnist | grayscale_mnist | colored_mnist | randomly_colored_mnist |
+    shapes | shapes_grayscale | cifar10 | toy2d. Extra kwargs flow to the
+    underlying builder (classes, holdout, img_size, color_rule, ...).
+    """
+    name = name.lower()
+    if name in ("mnist", "grayscale_mnist"):
+        return get_mnist(key, n, **kw)
+    if name == "colored_mnist":
+        return colored_mnist(key, n, **kw)
+    if name == "randomly_colored_mnist":
+        kw.setdefault("color_rule", "random")
+        return colored_mnist(key, n, **kw)
+    if name == "shapes":
+        return make_shapes_dataset(size=n, **kw)
+    if name == "shapes_grayscale":
+        return make_shapes_dataset(size=n, grayscale=True, **kw)
+    if name == "cifar10":
+        out = load_cifar10(**kw)
+        if out is None:
+            raise FileNotFoundError(
+                "cifar10 binaries not found (set CDX_CIFAR_DIR)")
+        imgs, labels = out
+        return (imgs[:n], labels[:n]) if n else (imgs, labels)
+    if name == "toy2d":
+        return toy2d(key, n, **kw), jnp.zeros((n,), jnp.int32)
+    raise ValueError(f"unknown dataset {name!r}; see data.get_dataset")
+
+
+# ---------------------------------------------------------------------------
 # Batching
 # ---------------------------------------------------------------------------
 def epoch_batches(key: Array, n: int, batch_size: int) -> Array:

@@ -129,6 +129,72 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     return params, jnp.concatenate(all_losses)
 
 
+def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
+                           params: Params, schedule: Schedule, images: Array,
+                           ckpt_mgr, name: str,
+                           labels: Tuple[Array, ...] = (), *,
+                           steps: int = 1000, batch_size: int = 128,
+                           lr: float = 2e-4, uncond_prob: float = 0.0,
+                           null_labels: Optional[Sequence[int]] = None,
+                           time_first: bool = False,
+                           steps_per_scan: int = 100,
+                           keep: int = 3) -> Tuple[Params, Array]:
+    """``train_expert`` with preemption recovery (SURVEY.md §5.3 — a NEW
+    capability over the reference's save-only checkpoints).
+
+    After every ``steps_per_scan`` chunk the full state
+    {params, opt_state, step} is checkpointed via ``ckpt_mgr.save_step``
+    (keep-latest-k). On start, the newest step checkpoint of ``name`` is
+    restored and training continues from there. Chunk keys derive from
+    ``fold_in(key, chunk_index)``, so a killed-and-resumed run produces
+    BITWISE the same params as an uninterrupted one (tests/test_train.py).
+    """
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
+                           null_labels=null_labels, time_first=time_first)
+    n = images.shape[0]
+
+    @jax.jit
+    def run_chunk(params, opt_state, chunk_key):
+        def body(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(chunk_key, i)
+            kb, kl = jax.random.split(k)
+            idx = jax.random.randint(kb, (batch_size,), 0, n)
+            x0 = jnp.take(images, idx, axis=0)
+            batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
+            loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
+                                                      batch_labels)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps_per_scan))
+        return params, opt_state, losses
+
+    state_like = {"params": params, "opt_state": opt_state,
+                  "step": jnp.zeros((), jnp.int32)}
+    restored, start_step = ckpt_mgr.restore_latest(name, state_like)
+    if restored is not None:
+        params, opt_state = restored["params"], restored["opt_state"]
+
+    all_losses = []
+    n_chunks = max(1, steps // steps_per_scan)
+    for c in range(start_step // steps_per_scan, n_chunks):
+        params, opt_state, losses = run_chunk(
+            params, opt_state, jax.random.fold_in(key, c))
+        all_losses.append(losses)
+        done = (c + 1) * steps_per_scan
+        ckpt_mgr.save_step(name, {"params": params, "opt_state": opt_state,
+                                  "step": jnp.asarray(done, jnp.int32)},
+                           done, keep=keep)
+    losses = (jnp.concatenate(all_losses) if all_losses
+              else jnp.zeros((0,), jnp.float32))
+    return params, losses
+
+
 def one_step_denoise_val(apply_fn, params, schedule: VPSchedule, key: Array,
                          shape: Tuple[int, ...], t_val: float = 0.9,
                          labels: Tuple[Array, ...] = ()) -> Array:

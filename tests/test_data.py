@@ -132,3 +132,18 @@ def test_cifar10_parses_binary_batches(tmp_path):
     imgs, labels = out
     assert imgs.shape == (2, 32, 32, 3)
     assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0
+
+
+def test_get_dataset_registry(key):
+    from composable_diffusion_models_tpu.data import get_dataset
+    imgs, labels = get_dataset("mnist", key, n=32, classes=[1, 2])
+    assert imgs.shape == (32, 28, 28, 1)
+    imgs, d, c = get_dataset("colored_mnist", key, n=16)
+    assert imgs.shape[-1] == 3 and d.shape == c.shape
+    imgs, s, c = get_dataset("shapes", key, n=18, img_size=16)
+    assert imgs.shape == (18, 16, 16, 3)
+    pts, _ = get_dataset("toy2d", key, n=64)
+    assert pts.shape == (64, 2)
+    import pytest
+    with pytest.raises(ValueError):
+        get_dataset("nope", key)

@@ -52,3 +52,51 @@ def test_one_step_denoise_val(key):
     out = train.one_step_denoise_val(m.apply, p, sch, key, (4, 28, 28, 1))
     assert out.shape == (4, 28, 28, 1)
     assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+
+
+def test_resume_bitwise_identical(key, tmp_path):
+    """Fault-injection (SURVEY.md §5.3): kill training mid-run, resume from
+    the step checkpoint, and get BITWISE the same params as an uninterrupted
+    run with the same key."""
+    from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+
+    sch = VPSchedule()
+    m = ScoreMLP(hidden=16)
+    x = data.toy2d(key, 128)
+    p0 = m.init(key, jnp.ones((1,)), jnp.zeros((1, 2)))
+
+    def mgr(sub):
+        return CheckpointManager(str(tmp_path / sub), "exp")
+
+    # uninterrupted: 4 chunks of 10
+    p_full, _ = train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr("a"), "mlp", steps=40, batch_size=32,
+        steps_per_scan=10, time_first=True)
+
+    # interrupted: run 2 chunks, "crash", then resume to 4 with a FRESH
+    # initialization (must be ignored in favor of the checkpoint)
+    m_b = mgr("b")
+    train.train_expert_resumable(
+        key, m.apply, p0, sch, x, m_b, "mlp", steps=20, batch_size=32,
+        steps_per_scan=10, time_first=True)
+    assert m_b.step_list("mlp") == [10, 20]
+    p_fresh = m.init(jax.random.fold_in(key, 999), jnp.ones((1,)),
+                     jnp.zeros((1, 2)))
+    p_resumed, _ = train.train_expert_resumable(
+        key, m.apply, p_fresh, sch, x, m_b, "mlp", steps=40, batch_size=32,
+        steps_per_scan=10, time_first=True)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        assert jnp.array_equal(a, b), "resume diverged from straight run"
+
+
+def test_save_step_keeps_latest_k(key, tmp_path):
+    from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path), "exp")
+    state = {"w": jnp.ones((2,))}
+    for s in (10, 20, 30, 40):
+        mgr.save_step("m", state, s, keep=2)
+    assert mgr.step_list("m") == [30, 40]
+    restored, step = mgr.restore_latest("m", state)
+    assert step == 40 and jnp.array_equal(restored["w"], state["w"])

@@ -80,3 +80,22 @@ def init_params(cfg: Config, model, key):
     labels = tuple(jnp.zeros((1,), jnp.int32) for _ in m.num_classes)
     return model.init(key, jnp.ones((1,)), jnp.zeros((1, m.latent_dim)),
                       *labels)
+
+
+def add_runtime_flags(ap) -> None:
+    """--profile / --debug_nans on every entry point (SURVEY.md §5.1/§5.2)."""
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler Perfetto trace of the run "
+                         "into outputs/profile")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="enable jax_debug_nans (fail fast on NaN/Inf)")
+
+
+def apply_runtime_flags(args) -> None:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    if getattr(args, "profile", False):
+        import atexit
+        os.makedirs("outputs/profile", exist_ok=True)
+        jax.profiler.start_trace("outputs/profile")
+        atexit.register(jax.profiler.stop_trace)

@@ -8,6 +8,8 @@ weighted eps blend, x0-clamped DDIM).
 import argparse
 
 import jax
+
+from _common import add_runtime_flags, apply_runtime_flags
 import jax.numpy as jnp
 
 from composable_diffusion_models_tpu import compose, experts, samplers
@@ -28,7 +30,9 @@ def main():
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(args.seed)

@@ -9,7 +9,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from _common import build_dataset  # noqa: F401 (path setup)
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset  # noqa: F401 (path setup)
 from composable_diffusion_models_tpu import compose, samplers
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.models import BetaVAE
@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--latent_dim", type=int, default=10)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(args.seed)

@@ -7,7 +7,7 @@ import os
 
 import jax
 
-from _common import build_dataset
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset
 from composable_diffusion_models_tpu.ops.pca import fit_pca, save_pca
 from composable_diffusion_models_tpu.utils import get_config
 
@@ -18,7 +18,9 @@ def main():
     ap.add_argument("--components", type=int, default=2)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--name", default="pca")
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(cfg.train.seed)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import build_model, build_schedule, init_params
+from _common import add_runtime_flags, apply_runtime_flags, build_model, build_schedule, init_params
 from composable_diffusion_models_tpu import experts, samplers
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.utils import get_config
@@ -34,7 +34,9 @@ def main():
     ap.add_argument("--radius", type=int, default=None)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(args.seed)

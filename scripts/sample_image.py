@@ -8,7 +8,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from _common import build_model, build_schedule, init_params
+from _common import add_runtime_flags, apply_runtime_flags, build_model, build_schedule, init_params
 from composable_diffusion_models_tpu import samplers
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.utils import get_config
@@ -22,7 +22,9 @@ def main():
     ap.add_argument("--sampler", default=None, choices=[None, "em", "ddim", "ode"])
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     if args.sampler:

@@ -10,7 +10,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from _common import build_model  # noqa: F401 (path setup)
+from _common import add_runtime_flags, apply_runtime_flags, build_model  # noqa: F401 (path setup)
 from composable_diffusion_models_tpu import data, samplers, train
 from composable_diffusion_models_tpu.models import ScoreMLP
 from composable_diffusion_models_tpu.schedules import VPSchedule
@@ -26,7 +26,9 @@ def main():
     ap.add_argument("--out", default="outputs/superposition_2d")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sanity", action="store_true")
+    add_runtime_flags(ap)
     args = ap.parse_args()
+    apply_runtime_flags(args)
     if args.sanity:
         args.steps, args.n_sample_steps = 500, 100
 

@@ -14,7 +14,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from _common import build_dataset, build_model, build_schedule, init_params
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset, build_model, build_schedule, init_params
 from composable_diffusion_models_tpu import train
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.utils import get_config, save_yaml
@@ -34,7 +34,9 @@ def main():
                          "[1] to condition the color expert on color labels")
     ap.add_argument("--sanity", action="store_true")
     ap.add_argument("--out", default="outputs")
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     if args.classes:

@@ -11,7 +11,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from _common import build_dataset, build_model
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset, build_model
 from composable_diffusion_models_tpu import train
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.ops.pca import load_pca
@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--classes", default=None)
     ap.add_argument("--name", default="latent_expert")
     ap.add_argument("--out", default="outputs")
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     if args.classes:

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from _common import build_dataset
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset
 from composable_diffusion_models_tpu import train
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.models import BetaVAE, vae_loss
@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--name", default="vae")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--sanity", action="store_true")
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     if args.sanity:

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import build_dataset, build_model
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset, build_model
 from composable_diffusion_models_tpu import compose, samplers
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.ops.pca import load_pca
@@ -28,7 +28,9 @@ def main():
     ap.add_argument("--n_steps", type=int, default=500)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(args.seed)

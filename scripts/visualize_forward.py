@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import build_dataset
+from _common import add_runtime_flags, apply_runtime_flags, build_dataset
 from composable_diffusion_models_tpu.ops.pca import load_pca
 from composable_diffusion_models_tpu.schedules import VPSchedule
 from composable_diffusion_models_tpu.utils import get_config
@@ -22,7 +22,9 @@ def main():
     ap.add_argument("--preset", default="mnist_latent2d")
     ap.add_argument("--pca", default="outputs/pca")
     ap.add_argument("--out", default="outputs/forward_diag.png")
+    add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(cfg.train.seed)

@@ -42,12 +42,29 @@ class ExpertStack:
     """
 
     def __init__(self, apply_fn: Callable[..., Array],
-                 params_list: Sequence[Params]):
+                 params_list: Sequence[Params], unroll_below: int = 5):
         self.apply_fn = apply_fn
         self.k = len(params_list)
         self.params = stack_params(params_list)
+        # MEASURED (v5e, 3x base-64 UNet fwd bs 256): vmap over stacked
+        # params lowers the convs to a grouped form ~22% slower than three
+        # plain-conv forwards (10.3 vs 8.4 ms). Small K unrolls; large K (or
+        # an 'expert' mesh axis, which needs the stacked axis) uses vmap.
+        self.unroll = self.k < unroll_below
 
     def __call__(self, x: Array, t: Array, *labels: Array) -> Array:
+        def lab_i(lab, i):
+            return lab[i] if (hasattr(lab, "ndim") and lab.ndim == 2) else lab
+
+        if self.unroll:
+            outs = [
+                self.apply_fn(
+                    jax.tree_util.tree_map(lambda a, i=i: a[i], self.params),
+                    x, t, *(lab_i(l, i) for l in labels))
+                for i in range(self.k)
+            ]
+            return jnp.stack(outs)
+
         in_axes = [0, None, None]
         for lab in labels:
             in_axes.append(0 if (hasattr(lab, "ndim") and lab.ndim == 2) else None)

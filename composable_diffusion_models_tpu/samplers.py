@@ -205,7 +205,8 @@ def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
               key: Array, x_init: Array, operation: str = "OR",
               temp: float = 1.0, bias: float = 0.0,
               clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
-              noise_scale: float = 1.0) -> Array:
+              noise_scale: float = 1.0,
+              kappa_fixed: Optional[Sequence[float]] = None) -> Array:
     """Density-tracked composition (parity:
     /root/reference/src/diffusion/samplers.py:12-59).
 
@@ -236,6 +237,10 @@ def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
             kappa = compose.or_softmax(log_q, temp, bias)
         elif op == "AND":
             kappa = compose.and_heuristic(log_q)
+        elif op == "FIXED":
+            # fixed-kappa ablation (reference _6_3.py:368-371)
+            kw = jnp.asarray(kappa_fixed, log_q.dtype)
+            kappa = jnp.broadcast_to(kw[:, None], log_q.shape)
         else:
             kappa = jnp.full_like(log_q, 1.0 / log_q.shape[0])
         kb = kappa.reshape(kappa.shape + (1,) * (x.ndim - 1))

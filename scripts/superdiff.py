@@ -22,9 +22,12 @@ def main():
     ap.add_argument("--experts", default='["expert_a","expert_b"]')
     ap.add_argument("--labels", default=None,
                     help="JSON per-expert label lists, e.g. [[0],[6]]")
-    ap.add_argument("--operation", default="OR", choices=["OR", "AND", "AVG"])
+    ap.add_argument("--operation", default="OR", choices=["OR", "AND", "AVG", "FIXED"])
     ap.add_argument("--rigorous_and", action="store_true",
                     help="use the Prop.-6 linear-system AND (K=2)")
+    ap.add_argument("--kappa", default=None,
+                    help="JSON per-expert fixed kappa for --operation FIXED, "
+                         "e.g. [0.7,0.3] (reference _6_3.py:368-371)")
     ap.add_argument("--temp", type=float, default=1.0)
     ap.add_argument("--bias", type=float, default=0.0)
     ap.add_argument("--out", default="outputs")
@@ -65,7 +68,9 @@ def main():
     else:
         out = samplers.superdiff(eps_stack_fn, sde, key, x_init,
                                  operation=args.operation, temp=args.temp,
-                                 bias=args.bias)
+                                 bias=args.bias,
+                                 kappa_fixed=(json.loads(args.kappa)
+                                              if args.kappa else None))
     path = save_grid(out, f"{mgr.results_dir}/superdiff_{args.operation}.png")
     print(f"SUPERDIFF {args.operation} samples saved to {path}")
 

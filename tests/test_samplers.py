@@ -179,3 +179,17 @@ def test_cfg_eps_fn_zero_weights_is_uncond(key):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x * 3.0), rtol=1e-5)
     # fan-out batched into ONE forward: labels length = (K+1) * B
     assert calls["labels"].shape[0] == 9
+
+
+def test_superdiff_fixed_kappa(key):
+    from composable_diffusion_models_tpu.schedules import DDPMSchedule
+    sde = DDPMSchedule(num_timesteps=10)
+
+    def eps_stack_fn(x, t):
+        return jnp.stack([x * 0.1, -x * 0.1])
+
+    x0 = jax.random.normal(key, (4, 8, 8, 1))
+    out = samplers.superdiff(eps_stack_fn, sde, key, x0, operation="FIXED",
+                             kappa_fixed=[0.7, 0.3])
+    assert out.shape == x0.shape
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -22,7 +22,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,21 +72,58 @@ class GNSiLU(nn.Module):
 
     Param layout ({scale, bias}) is identical in both paths, so checkpoints
     are interchangeable; the fallback path matches flax GroupNorm + silu
-    exactly (tested in tests/test_pallas_kernels.py).
+    exactly (tested in tests/test_pallas_kernels.py). A tuple input is
+    normalized as if concatenated on channels — without materializing the
+    concat (pk.groupnorm_silu_split) — and returned as a tuple.
     """
 
     dtype: Any = None
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        c = x.shape[-1]
+    def __call__(self, x):
+        xs = x if isinstance(x, (tuple, list)) else None
+        c = sum(p.shape[-1] for p in xs) if xs else x.shape[-1]
         groups = _gn_groups(c)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if xs:
+            outs = pk.groupnorm_silu_split(xs, scale, bias, groups=groups)
+            return tuple(o.astype(self.dtype or o.dtype) for o in outs)
         out = pk.groupnorm_silu(x, scale, bias, groups=groups,
                                 use_pallas=self.use_pallas)
         return out.astype(self.dtype or x.dtype)
+
+
+class _SplitConv(nn.Module):
+    """nn.Conv-compatible conv over a tuple of inputs treated as one
+    channel-concatenated tensor: conv(concat(parts), W) == sum_i conv(part_i,
+    W[..., off_i:off_i+c_i, :]) by linearity. Same param tree as nn.Conv
+    ({kernel, bias}, lecun_normal/zeros, fp32 params), so checkpoints are
+    interchangeable with the concat formulation."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, parts) -> Array:
+        cin = sum(p.shape[-1] for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.kernel_size + (cin, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.astype(self.dtype or parts[0].dtype)
+        out, off = None, 0
+        for p in parts:
+            cc = p.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                p.astype(k.dtype), k[..., off:off + cc, :], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+            off += cc
+        return out + bias.astype(out.dtype)
 
 
 class ResBlock(nn.Module):
@@ -104,21 +141,41 @@ class ResBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, t_emb: Array, *, train: bool = False) -> Array:
-        in_ch = x.shape[-1]
-        h = GNSiLU(self.dtype, self.use_pallas, name="gn1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype)(h)
+    def __call__(self, x: Array, t_emb: Array, *, skip: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        """``skip`` is treated exactly as concat([x, skip], -1) input, but the
+        concat is never materialized (profiled ~6% of the DDIM step): GN stats
+        combine from per-part channel sums and the convs split their kernels
+        by linearity. Param tree is identical to the concat formulation."""
+        parts = (x,) if skip is None else (x, skip)
+        in_ch = sum(p.shape[-1] for p in parts)
+        hn = GNSiLU(self.dtype, self.use_pallas, name="gn1")(
+            parts if skip is not None else x)
+        if skip is None:
+            h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                        dtype=self.dtype, name="Conv_0")(hn)
+        else:
+            h = _SplitConv(self.out_channels, (3, 3), dtype=self.dtype,
+                           name="Conv_0")(hn)
         # time conditioning, broadcast over H, W
-        temb = nn.Dense(self.out_channels, dtype=self.dtype)(nn.silu(t_emb))
+        temb = nn.Dense(self.out_channels, dtype=self.dtype,
+                        name="Dense_0")(nn.silu(t_emb))
         h = h + temb[:, None, None, :]
         h = GNSiLU(self.dtype, self.use_pallas, name="gn2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype)(h)
+                    dtype=self.dtype, name="Conv_1")(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
-        return h + x
+            if skip is None:
+                res = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                              name="Conv_2")(x)
+            else:
+                res = _SplitConv(self.out_channels, (1, 1), dtype=self.dtype,
+                                 name="Conv_2")(parts)
+        else:
+            assert skip is None, "skip input requires a channel-changing block"
+            res = x
+        return h + res
 
 
 class CrossAttention(nn.Module):
@@ -237,11 +294,10 @@ class UNet(nn.Module):
 
         for i in reversed(range(n_levels)):
             h = _upsample2x(h)
-            h = jnp.concatenate([h, skips[i]], axis=-1)
             h = ResBlock(self.base_dim * self.channel_mults[i],
                          self.dropout, dtype=self.dtype,
                          use_pallas=self.use_pallas,
-                         name=f"up_{i}")(h, t_emb, train=train)
+                         name=f"up_{i}")(h, t_emb, skip=skips[i], train=train)
             if self.cross_attn and context is not None:
                 h = CrossAttention(self.attn_heads, dtype=self.dtype,
                                    name=f"up_attn_{i}")(h, context)

@@ -59,3 +59,31 @@ def test_matmul_matches_xla(key, shape):
     out = pk.matmul(a, b, tile_m=128, tile_n=128, use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_groupnorm_silu_split_matches_concat(key):
+    from composable_diffusion_models_tpu.ops.pallas_kernels import (
+        groupnorm_silu, groupnorm_silu_split)
+    k1, k2 = jax.random.split(key)
+    a = jax.random.normal(k1, (3, 8, 8, 24))
+    b = jax.random.normal(k2, (3, 8, 8, 8))
+    scale = jax.random.normal(key, (32,)) * 0.1 + 1.0
+    bias = jax.random.normal(key, (32,)) * 0.1
+    ref = groupnorm_silu(jnp.concatenate([a, b], -1), scale, bias, groups=8,
+                         use_pallas=False)
+    pa, pb = groupnorm_silu_split([a, b], scale, bias, groups=8)
+    got = jnp.concatenate([pa, pb], -1)
+    assert jnp.allclose(ref, got, atol=1e-5), float(jnp.abs(ref - got).max())
+
+
+def test_split_conv_matches_concat_conv(key):
+    import flax.linen as nn
+    from composable_diffusion_models_tpu.models.unet import _SplitConv
+    k1, k2 = jax.random.split(key)
+    a = jax.random.normal(k1, (2, 8, 8, 12))
+    b = jax.random.normal(k2, (2, 8, 8, 4))
+    sc = _SplitConv(6, (3, 3))
+    p = sc.init(key, (a, b))
+    ref = nn.Conv(6, (3, 3), padding="SAME").apply(p, jnp.concatenate([a, b], -1))
+    got = sc.apply(p, (a, b))
+    assert jnp.allclose(ref, got, atol=1e-5), float(jnp.abs(ref - got).max())

@@ -89,7 +89,7 @@ def run(batch_size: int, base_dim: int, iters: int = 5,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch_sizes", default="256,512,1024")
+    ap.add_argument("--batch_sizes", default="256,384,512")
     ap.add_argument("--base_dim", type=int, default=64,
                     help="reference mnist UNet width (unet_small.py:49)")
     ap.add_argument("--iters", type=int, default=5)

@@ -14,6 +14,7 @@ CFG null-token dropout (UNCOND_PROB) follows src/..._5.py:241-242.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -72,7 +73,7 @@ def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
 def make_train_step(loss_fn, tx: optax.GradientTransformation):
     """One jitted optimizer step; donate params/opt_state for in-place update."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, x0, labels=()):
         loss, grads = jax.value_and_grad(loss_fn)(params, key, x0, labels)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -96,12 +97,15 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     ``lax.scan`` calls; batches are sampled with replacement inside the scan.
     """
     tx = optax.adam(lr)
+    # private copies: the chunks donate their inputs, and donation must never
+    # consume the caller's arrays (they may be reused across calls)
+    params = jax.tree_util.tree_map(jnp.copy, params)
     opt_state = tx.init(params)
     loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
                            null_labels=null_labels, time_first=time_first)
     n = images.shape[0]
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, chunk_key):
         def body(carry, i):
             params, opt_state = carry
@@ -150,12 +154,15 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     BITWISE the same params as an uninterrupted one (tests/test_train.py).
     """
     tx = optax.adam(lr)
+    # private copies: the chunks donate their inputs, and donation must never
+    # consume the caller's arrays (they may be reused across calls)
+    params = jax.tree_util.tree_map(jnp.copy, params)
     opt_state = tx.init(params)
     loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
                            null_labels=null_labels, time_first=time_first)
     n = images.shape[0]
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, chunk_key):
         def body(carry, i):
             params, opt_state = carry

@@ -111,3 +111,25 @@ def test_graft_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     mod.dryrun_multichip(8)
+
+
+def test_dp_sampling_matches_single_device(key):
+    """Batch-sharded DDIM composition == unsharded, bit-for-bit: sharding is a
+    placement decision, not a numerics decision."""
+    mesh = make_mesh({"data": 8})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params_list = [model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)))
+                   for i in range(2)]
+    stack = experts.ExpertStack(model.apply, params_list)
+    w = jnp.ones((2,))
+    eps_fn = lambda x, t: compose.weighted(stack(x, t), w)
+    x_init = jax.random.normal(key, (16, 16, 16, 1))
+
+    ref = jax.jit(lambda x: samplers.ddim(eps_fn, VPSchedule(), x, 5))(x_init)
+
+    xs = shard_batch(x_init, mesh, "data")
+    with mesh:
+        out = jax.jit(lambda x: samplers.ddim(eps_fn, VPSchedule(), x, 5))(xs)
+        jax.block_until_ready(out)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-6)

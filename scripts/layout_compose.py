@@ -56,8 +56,13 @@ def main():
 
     shape = (cfg.sample.batch_size, size, size, cfg.model.in_channels)
     x_init = jax.random.normal(key, shape)
-    out = samplers.layout(lambda x, ti: stack(x, ti.astype(jnp.float32)),
-                          sde, key, x_init, masks)
+    # conditional models: label 0 per slot per expert by default
+    n_slots = len(cfg.model.num_classes)
+    label_args = [jnp.zeros((len(names), cfg.sample.batch_size), jnp.int32)
+                  for _ in range(n_slots)]
+    out = samplers.layout(
+        lambda x, ti: stack(x, ti.astype(jnp.float32), *label_args),
+        sde, key, x_init, masks)
     path = save_grid(out, f"{mgr.results_dir}/layout_composed.png")
     print(f"layout-composed samples saved to {path}")
 

@@ -54,7 +54,10 @@ def main():
         label_args = [jnp.broadcast_to(per_expert[:, s:s + 1], (len(names), bs))
                       for s in range(n_slots)]
     else:
-        label_args = []
+        # conditional models default to label 0 per slot (pass --labels for
+        # per-expert conditioning)
+        label_args = [jnp.zeros((len(names), bs), jnp.int32)
+                      for _ in range(n_slots)]
 
     def eps_stack_fn(x, ti):
         return stack(x, ti.astype(jnp.float32), *label_args)

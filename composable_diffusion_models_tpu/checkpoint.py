@@ -64,15 +64,18 @@ class CheckpointManager:
                   keep: int = 3) -> str:
         """Save a resumable training state at ``step``; prune to ``keep``
         most recent step checkpoints (keep-latest-k)."""
+        assert keep >= 1, "keep-latest-k needs k >= 1"
         path = self._step_path(name, step)
         if os.path.exists(path):
             import shutil
             shutil.rmtree(path)
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
+        # prune to the newest `keep`, never the checkpoint just written
         for old in self.step_list(name)[:-keep]:
-            import shutil
-            shutil.rmtree(self._step_path(name, old), ignore_errors=True)
+            if old != step:
+                import shutil
+                shutil.rmtree(self._step_path(name, old), ignore_errors=True)
         return path
 
     def step_list(self, name: str):

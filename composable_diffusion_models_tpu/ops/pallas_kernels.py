@@ -102,7 +102,9 @@ def groupnorm_silu(x: Array, scale: Array, bias: Array, groups: int = 8,
         n = h * w * cg
         g_mean = ch_sum.reshape(b, groups, cg).sum(-1) / n     # (B, G)
         g_sq = ch_sq.reshape(b, groups, cg).sum(-1) / n
-        g_var = g_sq - g_mean * g_mean
+        # clamp: the one-pass E[x^2]-E[x]^2 form can go slightly negative
+        # by fp32 cancellation when mean^2 >> var, which would NaN the rsqrt
+        g_var = jnp.maximum(g_sq - g_mean * g_mean, 0.0)
         inv = jax.lax.rsqrt(g_var + eps)
         # broadcast per-group stats back to per-channel (tiny arrays)
         mean_c = jnp.repeat(g_mean, cg, axis=1)           # (B, C)
@@ -145,7 +147,7 @@ def groupnorm_silu_split(parts, scale: Array, bias: Array, groups: int = 8,
     ch_sq = jnp.concatenate(sqs, -1)
     g_mean = ch_sum.reshape(b, groups, cg).sum(-1) / n
     g_sq = ch_sq.reshape(b, groups, cg).sum(-1) / n
-    inv = jax.lax.rsqrt(g_sq - g_mean * g_mean + eps)
+    inv = jax.lax.rsqrt(jnp.maximum(g_sq - g_mean * g_mean, 0.0) + eps)
     mean_c = jnp.repeat(g_mean, cg, axis=1)
     inv_c = jnp.repeat(inv, cg, axis=1)
     a_all = inv_c * scale[None, :]

@@ -223,6 +223,8 @@ def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
     n = sde.num_timesteps
     t_idx = jnp.arange(n - 1, -1, -1)
     op = operation.upper()
+    if op == "FIXED" and kappa_fixed is None:
+        raise ValueError("operation='FIXED' requires kappa_fixed=[w_1..w_K]")
     dtau = 1.0 / n
     d = float(math.prod(x_init.shape[1:]))
     axes_fn = lambda a: tuple(range(1, a.ndim))

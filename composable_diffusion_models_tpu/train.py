@@ -105,8 +105,9 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                            null_labels=null_labels, time_first=time_first)
     n = images.shape[0]
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, chunk_key):
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("length",))
+    def run_chunk(params, opt_state, chunk_key, length=steps_per_scan):
         def body(carry, i):
             params, opt_state = carry
             k = jax.random.fold_in(chunk_key, i)
@@ -121,14 +122,17 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_scan))
+            body, (params, opt_state), jnp.arange(length))
         return params, opt_state, losses
 
     all_losses = []
-    n_chunks = max(1, steps // steps_per_scan)
-    for c in range(n_chunks):
+    steps_per_scan = min(steps_per_scan, steps)
+    chunk_lengths = [steps_per_scan] * (steps // steps_per_scan)
+    if steps % steps_per_scan:
+        chunk_lengths.append(steps % steps_per_scan)
+    for c, length in enumerate(chunk_lengths):
         params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, c))
+            params, opt_state, jax.random.fold_in(key, c), length)
         all_losses.append(losses)
     return params, jnp.concatenate(all_losses)
 
@@ -162,8 +166,9 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                            null_labels=null_labels, time_first=time_first)
     n = images.shape[0]
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, chunk_key):
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("length",))
+    def run_chunk(params, opt_state, chunk_key, length=steps_per_scan):
         def body(carry, i):
             params, opt_state = carry
             k = jax.random.fold_in(chunk_key, i)
@@ -178,7 +183,7 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_scan))
+            body, (params, opt_state), jnp.arange(length))
         return params, opt_state, losses
 
     state_like = {"params": params, "opt_state": opt_state,
@@ -187,13 +192,19 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     if restored is not None:
         params, opt_state = restored["params"], restored["opt_state"]
 
+    # full chunks + a shorter remainder chunk (never drop steps)
+    steps_per_scan = min(steps_per_scan, steps)
+    chunk_lengths = [steps_per_scan] * (steps // steps_per_scan)
+    if steps % steps_per_scan:
+        chunk_lengths.append(steps % steps_per_scan)
     all_losses = []
-    n_chunks = max(1, steps // steps_per_scan)
-    for c in range(start_step // steps_per_scan, n_chunks):
+    for c, length in enumerate(chunk_lengths):
+        if c < start_step // steps_per_scan:
+            continue  # already covered by the restored checkpoint
         params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, c))
+            params, opt_state, jax.random.fold_in(key, c), length)
         all_losses.append(losses)
-        done = (c + 1) * steps_per_scan
+        done = min((c + 1) * steps_per_scan, steps)
         ckpt_mgr.save_step(name, {"params": params, "opt_state": opt_state,
                                   "step": jnp.asarray(done, jnp.int32)},
                            done, keep=keep)

@@ -50,23 +50,22 @@ def build_model(cfg: Config):
 
 
 def build_dataset(cfg: Config, key):
+    """Config-driven wrapper over the data registry (data.get_dataset):
+    returns (images, labels_tuple)."""
     d = cfg.data
-    if d.dataset == "mnist":
-        imgs, labels = data_lib.get_mnist(key, d.n, d.classes, d.data_dir)
-        return imgs, (labels,)
-    if d.dataset == "colored_mnist":
-        imgs, dl, cl = data_lib.colored_mnist(key, d.n, d.classes,
-                                              d.color_rule,
-                                              data_dir=d.data_dir)
-        return imgs, (dl, cl)
-    if d.dataset == "shapes":
-        imgs, sl, cl = data_lib.make_shapes_dataset(
-            d.n, d.img_size, d.grayscale, list(d.holdout) or None,
-            d.background)
-        return imgs, (sl, cl)
-    if d.dataset == "toy2d":
-        return data_lib.toy2d(key, d.n, up=True), ()
-    raise ValueError(f"unknown dataset {d.dataset!r}")
+    kw = {
+        "mnist": dict(classes=d.classes, data_dir=d.data_dir),
+        "colored_mnist": dict(classes=d.classes, color_rule=d.color_rule,
+                              data_dir=d.data_dir),
+        "shapes": dict(img_size=d.img_size, grayscale=d.grayscale,
+                       holdout=list(d.holdout) or None,
+                       background=d.background),
+        "toy2d": dict(up=True),
+    }.get(d.dataset)
+    if kw is None:
+        raise ValueError(f"unknown dataset {d.dataset!r}")
+    out = data_lib.get_dataset(d.dataset, key, d.n, **kw)
+    return out[0], tuple(out[1:]) if d.dataset != "toy2d" else ()
 
 
 def init_params(cfg: Config, model, key):

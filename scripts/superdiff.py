@@ -65,6 +65,8 @@ def main():
     shape = (bs, cfg.data.img_size, cfg.data.img_size, cfg.model.in_channels)
     x_init = jax.random.normal(key, shape)
     if args.rigorous_and:
+        if args.operation not in ("OR", "AND"):
+            ap.error("--rigorous_and supports --operation OR|AND only")
         out = samplers.superdiff_and_solve(eps_stack_fn, sde, key, x_init,
                                            mode=args.operation,
                                            temp=args.temp, bias=args.bias)

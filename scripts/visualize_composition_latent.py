@@ -59,9 +59,12 @@ def main():
         stack = jnp.stack([expert_eps(i)(x, t)
                            for i in range(len(params_list))])
         if args.mode == "avg":
+            # fixed kappa = 1/K (…_latent_avg.py:89-99)
             return compose.fixed(stack, jnp.full((len(params_list),),
                                                  1.0 / len(params_list)))
-        return compose.weighted(stack, jnp.ones((len(params_list),)))
+        # unnormalized eps-SUM (visualize_composition_latent.py:76-78 —
+        # NOT the weighted mean; the sum doubles the score of shared mass)
+        return compose.fixed(stack, jnp.ones((len(params_list),)))
 
     z_init = jax.random.normal(key, (512, 2))
     if args.mode == "ito":

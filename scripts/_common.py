@@ -61,6 +61,7 @@ def build_dataset(cfg: Config, key):
                        holdout=list(d.holdout) or None,
                        background=d.background),
         "toy2d": dict(up=True),
+        "cifar10": dict(classes=d.classes, data_dir=d.data_dir),
     }.get(d.dataset)
     if kw is None:
         raise ValueError(f"unknown dataset {d.dataset!r}")

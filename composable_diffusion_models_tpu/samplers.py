@@ -138,6 +138,69 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     return x
 
 
+def dpm_solver_pp_2m(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array,
+                     n_steps: int,
+                     clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
+                     clip_min_alpha: float = 0.3,
+                     t_max: float = 1.0, t_min: float = 1e-3,
+                     spacing: str = "logsnr") -> Array:
+    """DPM-Solver++(2M): second-order multistep ODE solver in the
+    half-log-SNR parameterization (Lu et al. 2022, arXiv:2211.01095, Alg. 2,
+    data-prediction form) — a capability beyond the reference (its fastest
+    deterministic sampler is first-order DDIM): ~2x fewer model evaluations
+    at matched sample quality (tests/test_samplers.py verifies faster
+    convergence than DDIM on the analytic Gaussian case).
+
+      lambda = log(alpha/sigma);  h_i = lambda_i - lambda_{i-1}
+      D_i    = (1 + 1/(2 r)) x0_pred_i - 1/(2 r) x0_pred_{i-1},  r = h_{i-1}/h_i
+      x_i    = (sigma_i / sigma_{i-1}) x_{i-1} - alpha_i (exp(-h_i) - 1) D_i
+
+    First step falls back to the one-step (DDIM-equivalent) update. x0
+    clamping is alpha-gated exactly as in :func:`ddim`. ``spacing`` follows
+    the paper: "logsnr" places steps uniformly in lambda (so r == 1 and the
+    2M combination is the classic AB2 — markedly better at few steps);
+    "time" reuses the reference's uniform-t DDIM grid.
+    """
+    if spacing == "logsnr":
+        dense = jnp.linspace(t_max, t_min, 4096)
+        lam_dense = jnp.log(schedule.alpha(dense)) - jnp.log(
+            schedule.sigma(dense))
+        lam_targets = jnp.linspace(lam_dense[0], lam_dense[-1], n_steps + 1)
+        ts = jnp.interp(lam_targets, lam_dense, dense)
+    else:
+        ts = jnp.linspace(t_max, t_min, n_steps + 1)
+    a, s = schedule.alpha(ts), schedule.sigma(ts)
+    lam = jnp.log(a) - jnp.log(s)
+    # rows: (a_now, s_now, a_next, s_next, h_next, h_prev, t_now)
+    h = lam[1:] - lam[:-1]
+    h_prev = jnp.concatenate([jnp.zeros((1,)), h[:-1]])
+    table = jnp.stack([a[:-1], s[:-1], a[1:], s[1:], h, h_prev, ts[:-1]],
+                      axis=1)
+
+    def x0_pred(x, a_now, s_now, t):
+        x0 = (x - s_now * eps_fn(x, t)) / a_now
+        if clip is not None:
+            x0 = jnp.where(a_now >= clip_min_alpha,
+                           jnp.clip(x0, clip[0], clip[1]), x0)
+        return x0
+
+    def body(carry, row):
+        x, d_prev, have_prev = carry
+        a_now, s_now, a_next, s_next = row[0], row[1], row[2], row[3]
+        h_next, h_last, t = row[4], row[5], row[6]
+        d = x0_pred(x, a_now, s_now, t)
+        r = h_last / h_next
+        d2 = jnp.where(have_prev,
+                       (1.0 + 1.0 / (2.0 * r)) * d - (1.0 / (2.0 * r)) * d_prev,
+                       d)
+        x = (s_next / s_now) * x - a_next * jnp.expm1(-h_next) * d2
+        return (x, d, jnp.ones((), bool)), None
+
+    init = (x_init, jnp.zeros_like(x_init), jnp.zeros((), bool))
+    (x, _, _), _ = jax.lax.scan(body, init, table)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # I3 — Probability-flow ODE (Euler)
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--experts", default='["expert_a","expert_b"]',
                     help="JSON list of checkpoint names")
     ap.add_argument("--weights", default=None, help="JSON list of weights")
-    ap.add_argument("--sampler", default="em", choices=["em", "ddim"])
+    ap.add_argument("--sampler", default="em", choices=["em", "ddim", "dpmpp"])
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -48,7 +48,10 @@ def main():
              cfg.model.in_channels)
     x_init = jax.random.normal(key, shape)
 
-    if args.sampler == "ddim":
+    if args.sampler == "dpmpp":
+        out = samplers.dpm_solver_pp_2m(eps_fn, schedule, x_init,
+                                        cfg.sample.n_steps)
+    elif args.sampler == "ddim":
         out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)
     else:
         out = samplers.euler_maruyama(eps_fn, schedule, key, x_init,

@@ -193,3 +193,41 @@ def test_superdiff_fixed_kappa(key):
                              kappa_fixed=[0.7, 0.3])
     assert out.shape == x0.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestDPMSolverPP:
+    """Analytic Gaussian: q0 = N(mu, s^2 I) has exact eps-prediction
+    eps*(x,t) = sigma (x - alpha mu) / (alpha^2 s^2 + sigma^2); a perfect
+    integrator recovers N(mu, s^2)."""
+
+    mu, s = 1.5, 0.5
+
+    def exact_eps(self, sch):
+        def eps(x, t):
+            a, sg = sch.alpha(t), sch.sigma(t)
+            return sg * (x - a * self.mu) / (a**2 * self.s**2 + sg**2)
+        return eps
+
+    def moment_err(self, x):
+        return (abs(float(x.mean()) - self.mu)
+                + abs(float(x.std()) - self.s))
+
+    def test_first_order_step_equals_ddim(self, key):
+        sch = VPSchedule()
+        eps = self.exact_eps(sch)
+        x0 = jax.random.normal(key, (256, 4))
+        a = samplers.ddim(eps, sch, x0, 1, clip=None)
+        b = samplers.dpm_solver_pp_2m(eps, sch, x0, 1, clip=None)
+        assert jnp.allclose(a, b, atol=1e-5), float(jnp.abs(a - b).max())
+
+    def test_converges_and_beats_ddim_at_few_steps(self, key):
+        sch = VPSchedule()
+        eps = self.exact_eps(sch)
+        x0 = jax.random.normal(key, (4096, 4))
+        err_dpm = self.moment_err(
+            samplers.dpm_solver_pp_2m(eps, sch, x0, 10, clip=None))
+        err_ddim = self.moment_err(samplers.ddim(eps, sch, x0, 10, clip=None))
+        assert err_dpm < err_ddim, (err_dpm, err_ddim)
+        err_50 = self.moment_err(
+            samplers.dpm_solver_pp_2m(eps, sch, x0, 50, clip=None))
+        assert err_50 < 0.05, err_50

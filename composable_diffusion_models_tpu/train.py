@@ -213,6 +213,17 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     return params, losses
 
 
+def ema_update(ema_params: Params, params: Params,
+               decay: float = 0.999) -> Params:
+    """Exponential moving average of params (standard for diffusion sample
+    quality; a production-training capability beyond the reference, which
+    samples from the raw final params). Use inside the jitted step/chunk:
+    ``ema = ema_update(ema, params)``; sample with the EMA tree."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)
+
+
 def one_step_denoise_val(apply_fn, params, schedule: VPSchedule, key: Array,
                          shape: Tuple[int, ...], t_val: float = 0.9,
                          labels: Tuple[Array, ...] = ()) -> Array:

@@ -100,3 +100,17 @@ def test_save_step_keeps_latest_k(key, tmp_path):
     assert mgr.step_list("m") == [30, 40]
     restored, step = mgr.restore_latest("m", state)
     assert step == 40 and jnp.array_equal(restored["w"], state["w"])
+
+
+def test_ema_update_converges_to_params(key):
+    p = {"w": jnp.zeros((4,))}
+    target = {"w": jnp.ones((4,))}
+    ema = p
+    for _ in range(100):
+        ema = train.ema_update(ema, target, decay=0.9)
+    assert float(jnp.abs(ema["w"] - 1.0).max()) < 1e-4
+    # jit/scan compatible
+    def body(e, _):
+        return train.ema_update(e, target, decay=0.9), None
+    ema2, _ = jax.lax.scan(body, p, None, length=100)
+    assert jnp.allclose(ema2["w"], ema["w"])

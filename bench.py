@@ -110,6 +110,45 @@ def measure_train_throughput(base_dim: int, batch_size: int = 256,
     return steps * batch_size / dt
 
 
+def measure_shapes_throughput(iters: int = 3) -> float:
+    """Secondary benchmark (reported in "extra"): shapes 64x64 RGB, 50-step
+    DDIM, 2 conditional experts (the compose_images_ddim workload at
+    production image size)."""
+    key = jax.random.PRNGKey(0)
+    model = UNet(in_channels=3, base_dim=64, channel_mults=(1, 2, 4),
+                 num_classes=(3,), dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    lab = jnp.zeros((1,), jnp.int32)
+    params_list = [
+        jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16),
+            model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)), lab))
+        for i in range(2)
+    ]
+    stack = experts.ExpertStack(model.apply, params_list)
+    schedule = VPSchedule()
+    w = jnp.ones((2,), jnp.float32)
+    bs = 64
+    labels = jnp.zeros((2, bs), jnp.int32)
+
+    def eps_fn(x, t):
+        eps = stack(x.astype(jnp.bfloat16), t.astype(jnp.bfloat16), labels)
+        return compose.weighted(eps.astype(jnp.float32), w)
+
+    @jax.jit
+    def sample(key):
+        x = jax.random.normal(key, (bs, 64, 64, 3), jnp.float32)
+        return samplers.ddim(eps_fn, schedule, x, 50)
+
+    float(sample(key).ravel()[0])
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for i in range(iters):
+        acc = acc + sample(jax.random.fold_in(key, 1 + i)).ravel()[0]
+    float(acc)
+    return bs * iters / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_sizes", default="256,384,512")
@@ -134,6 +173,7 @@ def main():
 
     steps_per_sec = 50.0 / best_t if best_t else 0.0
     train_ips = measure_train_throughput(args.base_dim)
+    shapes_ips = measure_shapes_throughput()
     print(json.dumps({
         "metric": "mnist_images_per_sec_ddim50_3experts",
         "value": round(best_ips, 1),
@@ -142,6 +182,7 @@ def main():
         "extra": {"batch_size": best_bs, "base_dim": args.base_dim,
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "train_images_per_sec": round(train_ips, 1),
+                  "shapes64_images_per_sec": round(shapes_ips, 1),
                   "device": str(jax.devices()[0])},
     }))
 

@@ -33,6 +33,10 @@ def main():
                     help="JSON indices into the dataset label tuple, e.g. "
                          "[1] to condition the color expert on color labels")
     ap.add_argument("--sanity", action="store_true")
+    ap.add_argument("--resumable", action="store_true",
+                    help="checkpoint {params, opt_state, step} every chunk "
+                         "and resume from the newest step checkpoint "
+                         "(preemption recovery; bitwise-identical restart)")
     ap.add_argument("--out", default="outputs")
     add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
@@ -58,18 +62,25 @@ def main():
         train_labels = ()
 
     params = init_params(cfg, model, jax.random.fold_in(key, 2))
-    params, losses = train.train_expert(
-        jax.random.fold_in(key, 3), model.apply, params, schedule, images,
+    mgr = CheckpointManager(args.out, cfg.name)
+    train_kw = dict(
         labels=train_labels, steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
         uncond_prob=cfg.train.uncond_prob,
         null_labels=tuple(cfg.model.num_classes) if cfg.train.uncond_prob else None,
         steps_per_scan=min(100, cfg.train.steps))
-
-    mgr = CheckpointManager(args.out, cfg.name)
+    if args.resumable:
+        params, losses = train.train_expert_resumable(
+            jax.random.fold_in(key, 3), model.apply, params, schedule, images,
+            mgr, args.name, **train_kw)
+    else:
+        params, losses = train.train_expert(
+            jax.random.fold_in(key, 3), model.apply, params, schedule, images,
+            **train_kw)
     path = mgr.save(args.name, {"params": params, "step": cfg.train.steps})
     save_yaml(cfg, f"{mgr.logs_dir}/{args.name}_config.yaml")
-    plot_loss(losses, f"{mgr.results_dir}/{args.name}_loss.png")
+    if losses.shape[0]:  # empty when a resumable run was already complete
+        plot_loss(losses, f"{mgr.results_dir}/{args.name}_loss.png")
 
     # one-step denoise smoke grid (the reference's validation hook)
     if cfg.schedule.family == "vp" and not cfg.model.num_classes:
@@ -78,7 +89,8 @@ def main():
             (16, cfg.data.img_size, cfg.data.img_size, cfg.model.in_channels))
         save_grid(grid, f"{mgr.results_dir}/{args.name}_onestep.png", nrow=4)
 
-    print(f"saved checkpoint: {path}  final_loss={float(losses[-1]):.4f}")
+    final = f"{float(losses[-1]):.4f}" if losses.shape[0] else "resumed-complete"
+    print(f"saved checkpoint: {path}  final_loss={final}")
 
 
 if __name__ == "__main__":

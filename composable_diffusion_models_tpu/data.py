@@ -265,10 +265,15 @@ def colored_mnist(key: Array, n: int = 8192,
                   classes: Optional[Sequence[int]] = None,
                   color_rule: str = "per_digit",
                   color_override: Optional[Sequence[float]] = None,
-                  data_dir: Optional[str] = None):
+                  data_dir: Optional[str] = None,
+                  holdout: Optional[Sequence[Tuple[int, int]]] = None):
     """Colored-MNIST builder covering the reference's variants:
     per_digit (D4), label//4 rule (best_of_both_worlds.py:37-54), random color
     with its own label (D6), or a fixed override color (layout experiments).
+    ``holdout`` drops (digit, color_label) combinations — the double-holdout
+    compositional-generalization datasets (D7,
+    src/composing_conditional_diffusion_on_shape_and_color_2.py:61-166):
+    experts never see the held-out pairs, composition must generalize to them.
 
     Returns (images (N,H,W,3) [-1,1], digit_labels, color_labels).
     """
@@ -290,7 +295,15 @@ def colored_mnist(key: Array, n: int = 8192,
         colors = _SHAPE_COLOR_RGB[color_labels]
     else:
         raise ValueError(f"unknown color_rule: {color_rule!r}")
-    return colorize(imgs01, colors), labels, color_labels
+    if holdout:
+        held = jnp.asarray(list(holdout), jnp.int32)           # (H, 2)
+        hit = jnp.any((labels[:, None] == held[None, :, 0])
+                      & (color_labels[:, None] == held[None, :, 1]), axis=1)
+        keep = jnp.where(~hit)[0]
+        imgs01, labels, color_labels = (imgs01[keep], labels[keep],
+                                        color_labels[keep])
+    return colorize(imgs01, colors[keep] if holdout else colors), \
+        labels, color_labels
 
 
 # ---------------------------------------------------------------------------

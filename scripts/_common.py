@@ -56,7 +56,8 @@ def build_dataset(cfg: Config, key):
     kw = {
         "mnist": dict(classes=d.classes, data_dir=d.data_dir),
         "colored_mnist": dict(classes=d.classes, color_rule=d.color_rule,
-                              data_dir=d.data_dir),
+                              data_dir=d.data_dir,
+                              holdout=list(d.holdout) or None),
         "shapes": dict(img_size=d.img_size, grayscale=d.grayscale,
                        holdout=list(d.holdout) or None,
                        background=d.background),

@@ -147,3 +147,13 @@ def test_get_dataset_registry(key):
     import pytest
     with pytest.raises(ValueError):
         get_dataset("nope", key)
+
+
+def test_colored_mnist_holdout_pairs(key):
+    from composable_diffusion_models_tpu.data import colored_mnist
+    imgs, d, c = colored_mnist(key, 256, color_rule="random",
+                               holdout=[(1, 0), (2, 2)])
+    pairs = set(zip(np.asarray(d).tolist(), np.asarray(c).tolist()))
+    assert (1, 0) not in pairs and (2, 2) not in pairs
+    assert imgs.shape[0] == d.shape[0] == c.shape[0]
+    assert len(pairs) > 0

@@ -90,22 +90,36 @@ def run(batch_size: int, base_dim: int, iters: int = 5,
 def measure_train_throughput(base_dim: int, batch_size: int = 256,
                              steps: int = 60) -> float:
     """Training images/sec for one expert (secondary metric, reported in
-    "extra"): scan-fused chunks, donated buffers, synthetic data."""
-    import jax
+    "extra"): scan-fused chunks, donated buffers, synthetic data.
+
+    Warms the EXACT jitted chunk it times (same `length`, same shapes) — a
+    warmup with a different steps_per_scan is a different XLA program, and
+    the timed call would silently include a full compile (this bug once made
+    training look 40x slower than it is). bf16 compute / fp32 params+opt,
+    the production mixed-precision recipe.
+    """
+    import optax
     from composable_diffusion_models_tpu import data, train
 
     key = jax.random.PRNGKey(0)
-    model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4))
+    model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4),
+                 dtype=jnp.bfloat16)
     imgs, _ = data.synthetic_mnist(key, 2048)
     imgs = imgs * 2 - 1
     params = model.init(key, jnp.zeros((1, 28, 28, 1)), jnp.ones((1,)))
-    # warm the jit with a 1-chunk run, then time a fused chunk
-    train.train_expert(key, model.apply, params, VPSchedule(), imgs,
-                       steps=2, batch_size=batch_size, steps_per_scan=2)
+    tx = optax.adam(2e-4)
+    opt_state = tx.init(params)
+    chunk = train.make_train_chunk(model.apply, VPSchedule(), tx,
+                                   batch_size=batch_size)
+    # warm/compile, then time steady-state chunks of the same program
+    params, opt_state, warm_losses = chunk(params, opt_state, key, imgs,
+                                           length=steps)
+    float(warm_losses.sum())  # block: the timed call must start from idle
     t0 = time.perf_counter()
-    train.train_expert(key, model.apply, params, VPSchedule(), imgs,
-                       steps=steps, batch_size=batch_size,
-                       steps_per_scan=steps)
+    params, opt_state, losses = chunk(params, opt_state,
+                                      jax.random.fold_in(key, 1), imgs,
+                                      length=steps)
+    float(losses.sum())
     dt = time.perf_counter() - t0
     return steps * batch_size / dt
 

@@ -83,6 +83,48 @@ def make_train_step(loss_fn, tx: optax.GradientTransformation):
     return step
 
 
+def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
+                     tx: optax.GradientTransformation, *,
+                     batch_size: int, uncond_prob: float = 0.0,
+                     null_labels: Optional[Sequence[int]] = None,
+                     time_first: bool = False):
+    """Jitted multi-step training chunk: ``length`` optimizer steps fused in
+    one ``lax.scan``; batches gathered with ``jnp.take`` inside the program.
+
+    The dataset is an ARGUMENT (not a closure constant) so the jit cache keys
+    on its shape — callers (and the benchmark) can warm the exact program
+    once and reuse it across datasets/calls without recompiling.
+    """
+
+    loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
+                           null_labels=null_labels, time_first=time_first)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("length",))
+    def run_chunk(params, opt_state, chunk_key, images, labels=(), *,
+                  length: int):
+        n = images.shape[0]
+
+        def body(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(chunk_key, i)
+            kb, kl = jax.random.split(k)
+            idx = jax.random.randint(kb, (batch_size,), 0, n)
+            x0 = jnp.take(images, idx, axis=0)
+            batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
+            loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
+                                                      batch_labels)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(length))
+        return params, opt_state, losses
+
+    return run_chunk
+
+
 def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                  schedule: Schedule, images: Array,
                  labels: Tuple[Array, ...] = (), *, steps: int = 1000,
@@ -101,29 +143,10 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     # consume the caller's arrays (they may be reused across calls)
     params = jax.tree_util.tree_map(jnp.copy, params)
     opt_state = tx.init(params)
-    loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
-                           null_labels=null_labels, time_first=time_first)
-    n = images.shape[0]
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1),
-                       static_argnames=("length",))
-    def run_chunk(params, opt_state, chunk_key, length=steps_per_scan):
-        def body(carry, i):
-            params, opt_state = carry
-            k = jax.random.fold_in(chunk_key, i)
-            kb, kl = jax.random.split(k)
-            idx = jax.random.randint(kb, (batch_size,), 0, n)
-            x0 = jnp.take(images, idx, axis=0)
-            batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
-            loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
-                                                      batch_labels)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(length))
-        return params, opt_state, losses
+    run_chunk = make_train_chunk(
+        apply_fn, schedule, tx, batch_size=batch_size,
+        uncond_prob=uncond_prob, null_labels=null_labels,
+        time_first=time_first)
 
     all_losses = []
     steps_per_scan = min(steps_per_scan, steps)
@@ -132,7 +155,8 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
         chunk_lengths.append(steps % steps_per_scan)
     for c, length in enumerate(chunk_lengths):
         params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, c), length)
+            params, opt_state, jax.random.fold_in(key, c), images, labels,
+            length=length)
         all_losses.append(losses)
     return params, jnp.concatenate(all_losses)
 

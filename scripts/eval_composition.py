@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Quantitative compositional-generalization evaluation (beyond-reference).
+
+Trains a shape expert (grayscale) and a color expert (RGB, with held-out
+(shape, color) pairs removed from its data), composes them with DDIM for
+every combination, and scores the samples with a probe classifier trained on
+the full dataset (eval.py). The reference only ever eyeballs PNG grids for
+this claim (src/composing_conditional_diffusion_on_shape_and_color_2.py's
+holdout runs); here the deliverable is a JSON metric table where
+``joint_acc`` on a held-out pair is the generalization score.
+
+Example (sanity, ~2 min TPU):
+  python scripts/eval_composition.py --sanity
+Full run:
+  python scripts/eval_composition.py --train.steps=3000 --samples_per_combo 64
+"""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from _common import add_runtime_flags, apply_runtime_flags
+
+from composable_diffusion_models_tpu import compose, data, eval as ceval
+from composable_diffusion_models_tpu import experts, samplers, train
+from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+from composable_diffusion_models_tpu.models import UNet
+from composable_diffusion_models_tpu.schedules import VPSchedule
+from composable_diffusion_models_tpu.utils import get_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="shapes_ddim")
+    ap.add_argument("--holdout", default="[[2,2]]",
+                    help="JSON list of held-out (shape, color) pairs")
+    ap.add_argument("--samples_per_combo", type=int, default=32)
+    ap.add_argument("--probe_steps", type=int, default=1200)
+    ap.add_argument("--n_steps", type=int, default=50)
+    ap.add_argument("--w_shape", type=float, default=1.0)
+    ap.add_argument("--w_color", type=float, default=1.0)
+    ap.add_argument("--sanity", action="store_true")
+    ap.add_argument("--out", default="outputs")
+    ap.add_argument("--seed", type=int, default=0)
+    add_runtime_flags(ap)
+    args, overrides = ap.parse_known_args()
+    apply_runtime_flags(args)
+
+    cfg = get_config(args.preset, overrides)
+    if args.sanity:
+        cfg.apply_sanity()
+        args.probe_steps = 200
+        args.samples_per_combo = 8
+    holdout = [tuple(h) for h in json.loads(args.holdout)]
+    key = jax.random.PRNGKey(args.seed)
+    size = cfg.data.img_size
+    schedule = VPSchedule(kind=cfg.schedule.kind)
+    mgr = CheckpointManager(args.out, "eval_composition")
+
+    # data: full set for the probe; holdout-filtered for the color expert
+    full_imgs, full_s, full_c = data.make_shapes_dataset(cfg.data.n, size)
+    held_imgs, held_s, held_c = data.make_shapes_dataset(
+        cfg.data.n, size, holdout=holdout)
+    gray_imgs, gray_s, _ = data.make_shapes_dataset(
+        cfg.data.n, size, grayscale=True)
+
+    # probe on the FULL data (it must know what held-out combos look like)
+    print("training probe classifier ...")
+    probe, probe_params = ceval.train_probe(
+        jax.random.fold_in(key, 1), full_imgs, (full_s, full_c),
+        num_classes=(3, 3), steps=args.probe_steps)
+    sanity = ceval.probe_accuracy(probe, probe_params, full_imgs[:512],
+                                  (full_s[:512], full_c[:512]))
+    print(f"probe held-in accuracy: {sanity}")
+
+    # experts (compose_images_ddim workload shapes)
+    shape_model = UNet(in_channels=1, base_dim=cfg.model.base_dim,
+                       channel_mults=tuple(cfg.model.channel_mults),
+                       num_classes=(3,))
+    color_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
+                       channel_mults=tuple(cfg.model.channel_mults),
+                       num_classes=(3,))
+    lab0 = jnp.zeros((1,), jnp.int32)
+    print("training shape expert (grayscale) ...")
+    sp, _ = train.train_expert(
+        jax.random.fold_in(key, 2), shape_model.apply,
+        shape_model.init(key, jnp.zeros((1, size, size, 1)), jnp.ones((1,)),
+                         lab0),
+        schedule, gray_imgs, (gray_s,), steps=cfg.train.steps,
+        batch_size=cfg.train.batch_size, lr=cfg.train.lr)
+    print("training color expert (holdout-filtered RGB) ...")
+    cp, _ = train.train_expert(
+        jax.random.fold_in(key, 3), color_model.apply,
+        color_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
+                         lab0),
+        schedule, held_imgs, (held_c,), steps=cfg.train.steps,
+        batch_size=cfg.train.batch_size, lr=cfg.train.lr)
+
+    weights = jnp.array([args.w_shape, args.w_color])
+    bs = args.samples_per_combo
+
+    def sample_combo(s_lab, c_lab, k):
+        sl = jnp.full((bs,), s_lab, jnp.int32)
+        cl = jnp.full((bs,), c_lab, jnp.int32)
+
+        def eps_fn(x, t):
+            e_shape = experts.gray_to_rgb(
+                shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
+            e_color = color_model.apply(cp, x, t, cl)
+            return compose.weighted(jnp.stack([e_shape, e_color]), weights)
+
+        x_init = jax.random.normal(k, (bs, size, size, 3))
+        return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)
+
+    report = {"holdout": [list(h) for h in holdout], "combos": {}}
+    for s_lab in range(3):
+        for c_lab in range(3):
+            samples = sample_combo(
+                s_lab, c_lab, jax.random.fold_in(key, 10 + s_lab * 3 + c_lab))
+            scores = ceval.compositional_scores(
+                probe, probe_params, samples, (s_lab, c_lab))
+            scores["held_out"] = (s_lab, c_lab) in holdout
+            report["combos"][f"{s_lab},{c_lab}"] = scores
+            tag = " (HELD OUT)" if scores["held_out"] else ""
+            print(f"shape={s_lab} color={c_lab}{tag}: "
+                  f"joint_acc={scores['joint_acc']:.3f} "
+                  f"shape_acc={scores['factor_0_acc']:.3f} "
+                  f"color_acc={scores['factor_1_acc']:.3f}")
+
+    held = [v["joint_acc"] for v in report["combos"].values() if v["held_out"]]
+    seen = [v["joint_acc"] for v in report["combos"].values()
+            if not v["held_out"]]
+    report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
+    report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
+    path = f"{mgr.results_dir}/compositional_eval.json"
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"held-out joint acc {report['heldout_joint_acc']:.3f} | "
+          f"seen joint acc {report['seen_joint_acc']:.3f}")
+    print(f"report saved to {path}")
+
+
+if __name__ == "__main__":
+    main()

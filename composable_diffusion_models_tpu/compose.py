@@ -116,6 +116,39 @@ def and_solve(a: Array, b: Array, bias: float = 0.0) -> Array:
     return kappa
 
 
+def and_solve_k(a: Array, b: Array, bias: float = 0.0) -> Array:
+    """K-expert generalization of :func:`and_solve` (beyond-reference: the
+    reference's linear-system AND is hardcoded to 2 experts,
+    src/..._6_1.py:369-401).
+
+    Equal-density-change condition between consecutive experts gives K-1
+    rows ``sum_c (a[r,c] - a[r+1,c]) kappa_c = b[r+1] - b[r] + bias`` plus
+    the simplex row ``sum kappa = 1``; solved as a batched K x K system.
+    Non-finite solutions (singular systems) fall back to uniform 1/K, then
+    kappa is clamped to [0, 1] and renormalized (the 2-expert semantics).
+
+    a: (B, K, K) with a[r, c] = d_tau * <reverse_drift_c, score_r>
+    b: (B, K) density-change terms. Returns (B, K).
+    """
+    bsz, k = b.shape
+    rows = a[:, :-1, :] - a[:, 1:, :]                    # (B, K-1, K)
+    simplex = jnp.ones((bsz, 1, k), a.dtype)
+    mat = jnp.concatenate([rows, simplex], axis=1)       # (B, K, K)
+    rhs = jnp.concatenate(
+        [b[:, 1:] - b[:, :-1] + bias, jnp.ones((bsz, 1), b.dtype)], axis=1)
+    # guard the solve itself: a singular matrix must not poison the batch
+    det = jnp.linalg.det(mat)
+    safe = jnp.abs(det) > 1e-12
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=a.dtype), mat.shape)
+    kappa = jnp.linalg.solve(jnp.where(safe[:, None, None], mat, eye),
+                             rhs[..., None]).squeeze(-1)
+    ok = safe & jnp.all(jnp.isfinite(kappa), axis=1)
+    kappa = jnp.where(ok[:, None], kappa, 1.0 / k)
+    kappa = jnp.clip(kappa, 0.0, 1.0)
+    total = jnp.sum(kappa, axis=1, keepdims=True)
+    return jnp.where(total > 0, kappa / jnp.maximum(total, 1e-12), 1.0 / k)
+
+
 # 5. ---------------------------------------------------------------------
 def cfg(eps_uncond: Array, eps_cond_stack: Array, weights: Array) -> Array:
     """Classifier-free-guidance composition:

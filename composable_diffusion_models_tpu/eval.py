@@ -58,11 +58,14 @@ class ProbeClassifier(nn.Module):
 def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
                 num_classes: Optional[Sequence[int]] = None,
                 steps: int = 1500, batch_size: int = 256, lr: float = 2e-3,
-                base_dim: int = 32,
+                base_dim: int = 32, noise_aug: float = 0.0,
                 dtype: Any = jnp.bfloat16) -> Tuple[ProbeClassifier, Params]:
     """Train a probe on (images, per-factor labels). Returns (module, params).
 
-    One jitted scan over all steps; dataset device-resident.
+    One jitted scan over all steps; dataset device-resident. ``noise_aug``
+    adds Gaussian noise to the probe's training inputs so the metric stays
+    meaningful on imperfect generated samples (a probe fit only on clean
+    renders can classify slightly-off samples arbitrarily).
     """
     if num_classes is None:
         num_classes = [int(lab.max()) + 1 for lab in labels]
@@ -85,9 +88,11 @@ def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
     def run(params, opt_state, key):
         def body(carry, i):
             params, opt_state = carry
-            idx = jax.random.randint(jax.random.fold_in(key, i),
-                                     (batch_size,), 0, n)
+            ki, kn = jax.random.split(jax.random.fold_in(key, i))
+            idx = jax.random.randint(ki, (batch_size,), 0, n)
             x = jnp.take(images, idx, axis=0)
+            if noise_aug > 0.0:
+                x = x + noise_aug * jax.random.normal(kn, x.shape, x.dtype)
             ys = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
             loss, grads = jax.value_and_grad(loss_fn)(params, x, ys)
             updates, opt_state = tx.update(grads, opt_state, params)

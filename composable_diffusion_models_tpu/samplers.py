@@ -105,7 +105,8 @@ def euler_maruyama_traj(eps_fn: EpsFn, schedule: VPSchedule, key: Array,
 def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
          clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
          clip_min_alpha: float = 0.3,
-         t_max: float = 1.0, t_min: float = 1e-3) -> Array:
+         t_max: float = 1.0, t_min: float = 1e-3,
+         eta: float = 0.0, key: Optional[Array] = None) -> Array:
     """DDIM update (parity: /root/reference/shapes/compose_images_ddim.py:21-70):
 
       x0_pred = (x - sigma_now * eps) / alpha_now, clamped
@@ -119,22 +120,38 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     saturates (verified empirically on a trained MNIST expert: unconditional
     clamp -> all-white output; gate at alpha >= 0.3 -> clean samples at both
     50 and 200 steps). The clamp only applies once alpha_now >= clip_min_alpha.
+
+    ``eta`` interpolates to the stochastic DDIM family (Song et al. 2020
+    eq. 16, beyond-reference: the reference has only the deterministic form):
+    per-step noise scale eta * (s_next / s_now) * sqrt(1 - (a_now / a_next)^2)
+    with the eps coefficient shrunk to keep the marginal variance; eta=0 is
+    the deterministic sampler (bit-identical to before), eta=1 matches DDPM
+    ancestral noise levels. ``key`` is required when eta > 0.
     """
     table = schedule.ddim_table(n_steps, t_max, t_min)
     # t values at the "now" edge of each interval, for the model input
     ts = jnp.linspace(t_max, t_min, n_steps + 1)[:-1]
+    if eta > 0.0 and key is None:
+        raise ValueError("stochastic DDIM (eta > 0) needs a PRNG key")
 
     def body(x, row_t):
-        row, t = row_t
+        row, t, i = row_t
         a_now, s_now, a_next, s_next = row[0], row[1], row[2], row[3]
         eps_hat = eps_fn(x, t)
         x0 = (x - s_now * eps_hat) / a_now
         if clip is not None:
             x0 = jnp.where(a_now >= clip_min_alpha,
                            jnp.clip(x0, clip[0], clip[1]), x0)
+        if eta > 0.0:
+            sig = eta * (s_next / jnp.maximum(s_now, 1e-12)) * jnp.sqrt(
+                jnp.clip(1.0 - (a_now / a_next) ** 2, 0.0))
+            eps_coef = jnp.sqrt(jnp.clip(s_next**2 - sig**2, 0.0))
+            noise = jax.random.normal(jax.random.fold_in(key, i), x.shape,
+                                      x.dtype)
+            return a_next * x0 + eps_coef * eps_hat + sig * noise, None
         return a_next * x0 + s_next * eps_hat, None
 
-    x, _ = jax.lax.scan(body, x_init, (table, ts))
+    x, _ = jax.lax.scan(body, x_init, (table, ts, jnp.arange(n_steps)))
     return x
 
 
@@ -347,12 +364,13 @@ def _num_experts(eps_stack_fn, x_init) -> int:
 def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
                         sde: DDPMSchedule, key: Array, x_init: Array,
                         mode: str = "AND", temp: float = 1.0,
-                        bias: float = 0.0) -> Array:
+                        bias: float = 0.0, k_experts: int = 2) -> Array:
     """Parity: sample_superdiff at
     /root/reference/src/composing_conditional_diffusion_on_shape_and_color_6_1.py:330-429.
 
-    Uses finite-difference (f_coeff, g2) tables; AND builds the 2x2 system
-    from drift/score inner products and solves it in closed form per example.
+    Uses finite-difference (f_coeff, g2) tables; AND builds the KxK system
+    from drift/score inner products (compose.and_solve_k; the reference is
+    hardcoded to 2 experts — K>2 is a beyond-reference capability).
     """
     tbl = sde.table()
     f_coeffs, g2s = sde.fd_sde_tables()
@@ -367,27 +385,27 @@ def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
         row = tbl[ti]
         beta, _, recip_sa, s1m, pvar = row[0], row[1], row[2], row[3], row[4]
         f_c, g2 = f_coeffs[ti], g2s[ti]
-        eps_stack = eps_stack_fn(x, ti)            # (2, B, ...)
+        eps_stack = eps_stack_fn(x, ti)            # (K, B, ...)
         scores = -eps_stack / s1m
         f = f_c * x
         axes = tuple(range(2, eps_stack.ndim))     # feature axes of the stack
 
         if up == "OR":
-            kappa = compose.or_softmax(log_q, temp, bias)   # (2, B)
+            kappa = compose.or_softmax(log_q, temp, bias)   # (K, B)
         else:
             k, ksub = jax.random.split(k)
             dW = jax.random.normal(ksub, x.shape, x.dtype) * jnp.sqrt(dtau)
-            rev_drift = -f[None] + 0.5 * g2 * scores        # (2, B, ...)
+            rev_drift = -f[None] + 0.5 * g2 * scores        # (K, B, ...)
             # a[b, r, c] = dtau * <rev_drift_c, score_r>
             a = dtau * jnp.einsum("cb...,rb...->brc",
-                                  rev_drift.reshape(2, x.shape[0], -1),
-                                  scores.reshape(2, x.shape[0], -1))
+                                  rev_drift.reshape(k_experts, x.shape[0], -1),
+                                  scores.reshape(k_experts, x.shape[0], -1))
             div_f = f_c * d
             det_part = dtau * (div_f + jnp.sum(
                 (f[None] - 0.5 * g2 * scores) * scores, axis=axes))
             sto_part = jnp.sum(jnp.sqrt(g2) * dW[None] * scores, axis=axes)
-            b = (det_part + sto_part).T                     # (B, 2)
-            kappa = compose.and_solve(a, b, bias).T          # (2, B)
+            b = (det_part + sto_part).T                     # (B, K)
+            kappa = compose.and_solve_k(a, b, bias).T        # (K, B)
 
         kb = kappa.reshape(kappa.shape + (1,) * (x.ndim - 1))
         composed_score = jnp.sum(kb * scores, axis=0)
@@ -409,7 +427,7 @@ def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
         log_q = log_q + jax.vmap(dlogq)(scores)
         return (x_prev, log_q, k), None
 
-    log_q0 = jnp.zeros((2, x_init.shape[0]), x_init.dtype)
+    log_q0 = jnp.zeros((k_experts, x_init.shape[0]), x_init.dtype)
     (x, _, _), _ = jax.lax.scan(body, (x_init, log_q0, key), t_idx)
     return x
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from _common import add_runtime_flags, apply_runtime_flags
 
 from composable_diffusion_models_tpu import compose, data, eval as ceval
-from composable_diffusion_models_tpu import experts, samplers, train
+from composable_diffusion_models_tpu import samplers, train
 from composable_diffusion_models_tpu.checkpoint import CheckpointManager
 from composable_diffusion_models_tpu.models import UNet
 from composable_diffusion_models_tpu.schedules import VPSchedule
@@ -38,7 +38,9 @@ def main():
                     help="JSON list of held-out (shape, color) pairs")
     ap.add_argument("--samples_per_combo", type=int, default=32)
     ap.add_argument("--probe_steps", type=int, default=1200)
-    ap.add_argument("--n_steps", type=int, default=50)
+    ap.add_argument("--probe_noise", type=float, default=0.1,
+                    help="Gaussian noise aug for probe robustness")
+    ap.add_argument("--n_steps", type=int, default=200)
     ap.add_argument("--w_shape", type=float, default=1.0)
     ap.add_argument("--w_color", type=float, default=1.0)
     ap.add_argument("--sanity", action="store_true")
@@ -59,44 +61,49 @@ def main():
     schedule = VPSchedule(kind=cfg.schedule.kind)
     mgr = CheckpointManager(args.out, "eval_composition")
 
-    # data: full set for the probe; holdout-filtered for the color expert
+    # data: full set for the probe; holdout-filtered for BOTH experts
+    # (neither expert ever sees a held-out (shape, color) pair — the
+    # src-family generalization protocol, …shape_and_color_2.py:61-166)
     full_imgs, full_s, full_c = data.make_shapes_dataset(cfg.data.n, size)
     held_imgs, held_s, held_c = data.make_shapes_dataset(
         cfg.data.n, size, holdout=holdout)
-    gray_imgs, gray_s, _ = data.make_shapes_dataset(
-        cfg.data.n, size, grayscale=True)
 
     # probe on the FULL data (it must know what held-out combos look like)
     print("training probe classifier ...")
     probe, probe_params = ceval.train_probe(
         jax.random.fold_in(key, 1), full_imgs, (full_s, full_c),
-        num_classes=(3, 3), steps=args.probe_steps)
+        num_classes=(3, 3), steps=args.probe_steps,
+        noise_aug=args.probe_noise)
     sanity = ceval.probe_accuracy(probe, probe_params, full_imgs[:512],
                                   (full_s[:512], full_c[:512]))
     print(f"probe held-in accuracy: {sanity}")
 
-    # experts (compose_images_ddim workload shapes)
-    shape_model = UNet(in_channels=1, base_dim=cfg.model.base_dim,
+    # experts: same architecture, same (holdout-filtered) RGB data, each
+    # conditioned on ONE factor — composition is the weighted score average
+    # (reference op-1, …shape_and_color.py:352)
+    shape_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
                        num_classes=(3,))
     color_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
                        num_classes=(3,))
     lab0 = jnp.zeros((1,), jnp.int32)
-    print("training shape expert (grayscale) ...")
-    sp, _ = train.train_expert(
+    print("training shape expert (RGB | shape) ...")
+    sp, sl_losses = train.train_expert(
         jax.random.fold_in(key, 2), shape_model.apply,
-        shape_model.init(key, jnp.zeros((1, size, size, 1)), jnp.ones((1,)),
+        shape_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
                          lab0),
-        schedule, gray_imgs, (gray_s,), steps=cfg.train.steps,
+        schedule, held_imgs, (held_s,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr)
-    print("training color expert (holdout-filtered RGB) ...")
-    cp, _ = train.train_expert(
+    print(f"  final loss {float(sl_losses[-1]):.4f}")
+    print("training color expert (RGB | color) ...")
+    cp, cl_losses = train.train_expert(
         jax.random.fold_in(key, 3), color_model.apply,
         color_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
                          lab0),
         schedule, held_imgs, (held_c,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr)
+    print(f"  final loss {float(cl_losses[-1]):.4f}")
 
     weights = jnp.array([args.w_shape, args.w_color])
     bs = args.samples_per_combo
@@ -106,8 +113,7 @@ def main():
         cl = jnp.full((bs,), c_lab, jnp.int32)
 
         def eps_fn(x, t):
-            e_shape = experts.gray_to_rgb(
-                shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
+            e_shape = shape_model.apply(sp, x, t, sl)
             e_color = color_model.apply(cp, x, t, cl)
             return compose.weighted(jnp.stack([e_shape, e_color]), weights)
 
@@ -115,10 +121,12 @@ def main():
         return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)
 
     report = {"holdout": [list(h) for h in holdout], "combos": {}}
+    grids = []
     for s_lab in range(3):
         for c_lab in range(3):
             samples = sample_combo(
                 s_lab, c_lab, jax.random.fold_in(key, 10 + s_lab * 3 + c_lab))
+            grids.append(samples[:4])
             scores = ceval.compositional_scores(
                 probe, probe_params, samples, (s_lab, c_lab))
             scores["held_out"] = (s_lab, c_lab) in holdout
@@ -134,6 +142,10 @@ def main():
             if not v["held_out"]]
     report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
     report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
+    from composable_diffusion_models_tpu.utils.viz import save_grid
+    grid_path = save_grid(jnp.concatenate(grids, axis=0),
+                          f"{mgr.results_dir}/eval_samples_grid.png", nrow=12)
+    print(f"sample grid saved to {grid_path}")
     path = f"{mgr.results_dir}/compositional_eval.json"
     with open(path, "w") as f:
         json.dump(report, f, indent=2)

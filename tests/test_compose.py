@@ -112,3 +112,43 @@ def test_fixed_kappa():
     eps = jnp.stack([jnp.ones((2, 2)), 3.0 * jnp.ones((2, 2))])
     out = compose.fixed(eps, jnp.array([0.5, 0.5]))
     np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-6)
+
+
+class TestAndSolveK:
+    def test_k2_matches_and_solve(self, key):
+        a = jax.random.normal(key, (16, 2, 2))
+        b = jax.random.normal(jax.random.fold_in(key, 1), (16, 2))
+        np.testing.assert_allclose(
+            np.asarray(compose.and_solve_k(a, b, bias=0.3)),
+            np.asarray(compose.and_solve(a, b, bias=0.3)),
+            rtol=1e-5, atol=1e-6)
+
+    def test_k3_solves_constructed_system(self, key):
+        # build a system whose exact solution lies strictly inside the
+        # simplex, so clamp/renorm are no-ops and solve must recover it
+        kappa_true = jnp.array([[0.5, 0.3, 0.2]])
+        a = jax.random.normal(key, (1, 3, 3))
+        rows = a[:, :-1, :] - a[:, 1:, :]
+        rhs_rows = jnp.einsum("brc,bc->br", rows, kappa_true)
+        b0 = jnp.zeros((1,))
+        # b[r+1] - b[r] = rhs_rows[r]  ->  cumulative sums
+        b = jnp.concatenate([b0[:, None],
+                             b0[:, None] + jnp.cumsum(rhs_rows, axis=1)],
+                            axis=1)
+        kappa = compose.and_solve_k(a, b)
+        np.testing.assert_allclose(np.asarray(kappa), np.asarray(kappa_true),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_singular_falls_back_uniform(self):
+        a = jnp.zeros((4, 3, 3))  # rows identical -> singular top block
+        b = jnp.zeros((4, 3))
+        kappa = compose.and_solve_k(a, b)
+        np.testing.assert_allclose(np.asarray(kappa), 1.0 / 3, atol=1e-6)
+
+    def test_simplex_constraints(self, key):
+        a = jax.random.normal(key, (32, 4, 4))
+        b = jax.random.normal(jax.random.fold_in(key, 2), (32, 4))
+        kappa = compose.and_solve_k(a, b)
+        assert bool(jnp.all(kappa >= 0)) and bool(jnp.all(kappa <= 1))
+        np.testing.assert_allclose(np.asarray(kappa.sum(axis=1)), 1.0,
+                                   atol=1e-5)

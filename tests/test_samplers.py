@@ -3,6 +3,7 @@ for x0 ~ N(0, I) the optimal eps-predictor and score are closed-form, so each
 integrator's output distribution is checkable without training."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -231,3 +232,47 @@ class TestDPMSolverPP:
         err_50 = self.moment_err(
             samplers.dpm_solver_pp_2m(eps, sch, x0, 50, clip=None))
         assert err_50 < 0.05, err_50
+
+
+class TestStochasticDDIM:
+    def test_eta_zero_bitwise_identical(self, key):
+        x0 = jax.random.normal(key, (64, 4))
+        a = samplers.ddim(gaussian_eps_fn, SCH, x0, 20, clip=None)
+        b = samplers.ddim(gaussian_eps_fn, SCH, x0, 20, clip=None, eta=0.0,
+                          key=key)
+        assert bool(jnp.all(a == b))
+
+    def test_eta_requires_key(self, key):
+        x0 = jax.random.normal(key, (4, 4))
+        with pytest.raises(ValueError):
+            samplers.ddim(gaussian_eps_fn, SCH, x0, 4, eta=0.5)
+
+    def test_eta_one_preserves_standard_normal(self, key):
+        x0 = jax.random.normal(key, (4096, 4))
+        out = samplers.ddim(gaussian_eps_fn, SCH, x0, 100, clip=None,
+                            eta=1.0, key=jax.random.fold_in(key, 1))
+        assert abs(float(out.mean())) < 0.1
+        assert abs(float(out.std()) - 1.0) < 0.1
+
+    def test_eta_stochastic_varies_with_key(self, key):
+        x0 = jax.random.normal(key, (16, 4))
+        a = samplers.ddim(gaussian_eps_fn, SCH, x0, 10, clip=None, eta=0.7,
+                          key=jax.random.fold_in(key, 1))
+        b = samplers.ddim(gaussian_eps_fn, SCH, x0, 10, clip=None, eta=0.7,
+                          key=jax.random.fold_in(key, 2))
+        assert not bool(jnp.allclose(a, b))
+
+
+def test_superdiff_and_solve_k3(key):
+    """K=3 AND linear system (beyond-reference) runs and stays finite."""
+    sde = DDPMSchedule(num_timesteps=20)
+
+    def eps_stack_fn(x, ti):
+        t = ti.astype(jnp.float32) / 20.0
+        return jnp.stack([x * 0.1, x * 0.2, -x * 0.1])
+
+    x0 = jax.random.normal(key, (8, 4))
+    out = samplers.superdiff_and_solve(eps_stack_fn, sde, key, x0,
+                                       mode="AND", k_experts=3)
+    assert out.shape == x0.shape
+    assert bool(jnp.all(jnp.isfinite(out)))

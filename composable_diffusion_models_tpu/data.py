@@ -18,6 +18,7 @@ live in HBM, and feed jitted train steps with zero host<->device traffic.
 
 from __future__ import annotations
 
+import functools
 import gzip
 import os
 import struct
@@ -101,6 +102,17 @@ def make_shapes_dataset(size: int = 5000, img_size: int = 64,
     if holdout:
         held = set(tuple(h) for h in holdout)
         combos = [sc for sc in combos if sc not in held]
+    return _build_shapes(size, img_size, grayscale, background,
+                         tuple(combos))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _build_shapes(size: int, img_size: int, grayscale: bool,
+                  background: str, combos: Tuple[Tuple[int, int], ...]):
+    """One jitted program for the whole dataset build. Eager op-by-op
+    execution costs minutes on a tunneled backend (each primitive compiles
+    and dispatches separately — measured 344 s for 2000 images that this
+    single program produces in seconds)."""
     combos_arr = jnp.array(combos)
     idx = jnp.arange(size) % len(combos)
     shape_labels = combos_arr[idx, 0]
@@ -172,10 +184,27 @@ def synthetic_mnist(key: Array, n: int,
     train the expert nets and exercise every composition pipeline hermetically
     when the real MNIST IDX files are unavailable (zero-egress environments).
     """
-    classes = jnp.asarray(list(classes) if classes is not None else range(10))
+    classes_t = tuple(int(c) for c in classes) if classes is not None else \
+        tuple(range(10))
+    # bucket the build size to powers of two: the vmapped glyph renderer
+    # compiles slowly on the tunneled backend (~minutes), and bucketing
+    # makes the compile cache hit across every caller's n
+    bucket = 256
+    while bucket < n:
+        bucket *= 2
+    imgs, labels = _build_synthetic(key, bucket, classes_t, img_size)
+    return imgs[:n], labels[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _build_synthetic(key: Array, n: int, classes_t: Tuple[int, ...],
+                     img_size: int) -> Tuple[Array, Array]:
+    # one jitted program — eager op-by-op build costs ~10-30 s of per-op
+    # compile+dispatch on a tunneled backend (cf. _build_shapes)
+    classes = jnp.asarray(classes_t)
     font = _font_array()
     kl, kr = jax.random.split(key)
-    labels = classes[jax.random.randint(kl, (n,), 0, len(classes))]
+    labels = classes[jax.random.randint(kl, (n,), 0, len(classes_t))]
     keys = jax.random.split(kr, n)
     imgs = jax.vmap(lambda lab, k: _render_digit(font[lab], k, img_size))(
         labels, keys)
@@ -277,33 +306,50 @@ def colored_mnist(key: Array, n: int = 8192,
 
     Returns (images (N,H,W,3) [-1,1], digit_labels, color_labels).
     """
+    if color_rule not in ("per_digit", "div4", "random"):
+        raise ValueError(f"unknown color_rule: {color_rule!r}")
     k1, k2 = jax.random.split(key)
     imgs01, labels = get_mnist(k1, n, classes, data_dir, normalize=False)
-    n_actual = imgs01.shape[0]
     if color_override is not None:
-        colors = jnp.broadcast_to(jnp.asarray(color_override, jnp.float32),
-                                  (n_actual, 3))
-        color_labels = jnp.zeros((n_actual,), jnp.int32)
-    elif color_rule == "per_digit":
+        override = jnp.asarray(color_override, jnp.float32)
+        rgb, color_labels = _colorize_override(imgs01, override)
+    else:
+        rgb, color_labels = _apply_color_rule(imgs01, labels, k2, color_rule)
+    if holdout:
+        # data-dependent size: filter on HOST (small label arrays), one
+        # device gather — keeps the device path fully jitted
+        held = np.asarray(list(holdout), np.int32)
+        lab_np, cl_np = np.asarray(labels), np.asarray(color_labels)
+        hit = np.any((lab_np[:, None] == held[None, :, 0])
+                     & (cl_np[:, None] == held[None, :, 1]), axis=1)
+        keep = jnp.asarray(np.nonzero(~hit)[0])
+        rgb, labels, color_labels = (jnp.take(rgb, keep, axis=0),
+                                     jnp.take(labels, keep, axis=0),
+                                     jnp.take(color_labels, keep, axis=0))
+    return rgb, labels, color_labels
+
+
+@jax.jit
+def _colorize_override(imgs01: Array, override: Array):
+    colors = jnp.broadcast_to(override, (imgs01.shape[0], 3))
+    return colorize(imgs01, colors), jnp.zeros((imgs01.shape[0],), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _apply_color_rule(imgs01: Array, labels: Array, k2: Array,
+                      color_rule: str):
+    # one jitted program per rule (eager per-op dispatch costs ~20-30 s
+    # through the tunnel — cf. _build_shapes)
+    if color_rule == "per_digit":
         colors = DIGIT_COLORS[labels]
         color_labels = labels
     elif color_rule == "div4":
         color_labels = labels // 4
         colors = DIGIT_COLORS[color_labels]
-    elif color_rule == "random":
-        color_labels = jax.random.randint(k2, (n_actual,), 0, 3)
+    else:  # random
+        color_labels = jax.random.randint(k2, (labels.shape[0],), 0, 3)
         colors = _SHAPE_COLOR_RGB[color_labels]
-    else:
-        raise ValueError(f"unknown color_rule: {color_rule!r}")
-    if holdout:
-        held = jnp.asarray(list(holdout), jnp.int32)           # (H, 2)
-        hit = jnp.any((labels[:, None] == held[None, :, 0])
-                      & (color_labels[:, None] == held[None, :, 1]), axis=1)
-        keep = jnp.where(~hit)[0]
-        imgs01, labels, color_labels = (imgs01[keep], labels[keep],
-                                        color_labels[keep])
-    return colorize(imgs01, colors[keep] if holdout else colors), \
-        labels, color_labels
+    return colorize(imgs01, colors), color_labels
 
 
 # ---------------------------------------------------------------------------

@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Quantitative compositional-generalization evaluation (beyond-reference).
 
-Trains a shape expert (grayscale) and a color expert (RGB, with held-out
-(shape, color) pairs removed from its data), composes them with DDIM for
-every combination, and scores the samples with a probe classifier trained on
-the full dataset (eval.py). The reference only ever eyeballs PNG grids for
-this claim (src/composing_conditional_diffusion_on_shape_and_color_2.py's
-holdout runs); here the deliverable is a JSON metric table where
-``joint_acc`` on a held-out pair is the generalization score.
+Trains two single-factor conditional experts (shape-or-digit | color) on the
+SAME holdout-filtered data (neither ever sees a held-out pair), composes them
+with DDIM for every combination, and scores the samples with a probe
+classifier trained on the full dataset (eval.py). The reference only ever
+eyeballs PNG grids for this claim
+(src/composing_conditional_diffusion_on_shape_and_color_2.py's holdout
+runs); here the deliverable is a JSON metric table where ``joint_acc`` on a
+held-out pair is the generalization score. Supports the shapes (3x3) and
+colored-MNIST (10x3) factored datasets.
 
 Example (sanity, ~2 min TPU):
   python scripts/eval_composition.py --sanity
@@ -34,8 +36,12 @@ from composable_diffusion_models_tpu.utils import get_config
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="shapes_ddim")
+    ap.add_argument("--dataset", default="shapes",
+                    choices=["shapes", "colored_mnist"],
+                    help="factored dataset: shapes (shape x color, 3x3) or "
+                         "colored_mnist (digit x color, 10x3)")
     ap.add_argument("--holdout", default="[[2,2]]",
-                    help="JSON list of held-out (shape, color) pairs")
+                    help="JSON list of held-out (factor0, factor1) pairs")
     ap.add_argument("--samples_per_combo", type=int, default=32)
     ap.add_argument("--probe_steps", type=int, default=1200)
     ap.add_argument("--probe_noise", type=float, default=0.1,
@@ -62,17 +68,27 @@ def main():
     mgr = CheckpointManager(args.out, "eval_composition")
 
     # data: full set for the probe; holdout-filtered for BOTH experts
-    # (neither expert ever sees a held-out (shape, color) pair — the
-    # src-family generalization protocol, …shape_and_color_2.py:61-166)
-    full_imgs, full_s, full_c = data.make_shapes_dataset(cfg.data.n, size)
-    held_imgs, held_s, held_c = data.make_shapes_dataset(
-        cfg.data.n, size, holdout=holdout)
+    # (neither expert ever sees a held-out pair — the src-family
+    # generalization protocol, …shape_and_color_2.py:61-166)
+    if args.dataset == "shapes":
+        n_classes = (3, 3)
+        full_imgs, full_s, full_c = data.make_shapes_dataset(cfg.data.n, size)
+        held_imgs, held_s, held_c = data.make_shapes_dataset(
+            cfg.data.n, size, holdout=holdout)
+    else:  # colored_mnist: digit x random color (D6/D7)
+        n_classes = (10, 3)
+        size = 28
+        full_imgs, full_s, full_c = data.colored_mnist(
+            jax.random.fold_in(key, 7), cfg.data.n, color_rule="random")
+        held_imgs, held_s, held_c = data.colored_mnist(
+            jax.random.fold_in(key, 7), cfg.data.n, color_rule="random",
+            holdout=holdout)
 
     # probe on the FULL data (it must know what held-out combos look like)
     print("training probe classifier ...")
     probe, probe_params = ceval.train_probe(
         jax.random.fold_in(key, 1), full_imgs, (full_s, full_c),
-        num_classes=(3, 3), steps=args.probe_steps,
+        num_classes=n_classes, steps=args.probe_steps,
         noise_aug=args.probe_noise)
     sanity = ceval.probe_accuracy(probe, probe_params, full_imgs[:512],
                                   (full_s[:512], full_c[:512]))
@@ -83,12 +99,12 @@ def main():
     # (reference op-1, …shape_and_color.py:352)
     shape_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
-                       num_classes=(3,))
+                       num_classes=(n_classes[0],))
     color_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
-                       num_classes=(3,))
+                       num_classes=(n_classes[1],))
     lab0 = jnp.zeros((1,), jnp.int32)
-    print("training shape expert (RGB | shape) ...")
+    print("training factor-0 expert (RGB | shape/digit) ...")
     sp, sl_losses = train.train_expert(
         jax.random.fold_in(key, 2), shape_model.apply,
         shape_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
@@ -96,7 +112,7 @@ def main():
         schedule, held_imgs, (held_s,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr)
     print(f"  final loss {float(sl_losses[-1]):.4f}")
-    print("training color expert (RGB | color) ...")
+    print("training factor-1 expert (RGB | color) ...")
     cp, cl_losses = train.train_expert(
         jax.random.fold_in(key, 3), color_model.apply,
         color_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
@@ -108,10 +124,9 @@ def main():
     weights = jnp.array([args.w_shape, args.w_color])
     bs = args.samples_per_combo
 
-    def sample_combo(s_lab, c_lab, k):
-        sl = jnp.full((bs,), s_lab, jnp.int32)
-        cl = jnp.full((bs,), c_lab, jnp.int32)
-
+    @jax.jit
+    def _sample(sl, cl, k):
+        # labels are traced args: ONE compile covers every combo
         def eps_fn(x, t):
             e_shape = shape_model.apply(sp, x, t, sl)
             e_color = color_model.apply(cp, x, t, cl)
@@ -120,12 +135,17 @@ def main():
         x_init = jax.random.normal(k, (bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)
 
+    def sample_combo(s_lab, c_lab, k):
+        return _sample(jnp.full((bs,), s_lab, jnp.int32),
+                       jnp.full((bs,), c_lab, jnp.int32), k)
+
     report = {"holdout": [list(h) for h in holdout], "combos": {}}
     grids = []
-    for s_lab in range(3):
-        for c_lab in range(3):
+    for s_lab in range(n_classes[0]):
+        for c_lab in range(n_classes[1]):
             samples = sample_combo(
-                s_lab, c_lab, jax.random.fold_in(key, 10 + s_lab * 3 + c_lab))
+                s_lab, c_lab,
+                jax.random.fold_in(key, 10 + s_lab * n_classes[1] + c_lab))
             grids.append(samples[:4])
             scores = ceval.compositional_scores(
                 probe, probe_params, samples, (s_lab, c_lab))

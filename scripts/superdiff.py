@@ -69,7 +69,8 @@ def main():
             ap.error("--rigorous_and supports --operation OR|AND only")
         out = samplers.superdiff_and_solve(eps_stack_fn, sde, key, x_init,
                                            mode=args.operation,
-                                           temp=args.temp, bias=args.bias)
+                                           temp=args.temp, bias=args.bias,
+                                           k_experts=len(names))
     else:
         out = samplers.superdiff(eps_stack_fn, sde, key, x_init,
                                  operation=args.operation, temp=args.temp,

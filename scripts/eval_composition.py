@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--n_steps", type=int, default=200)
     ap.add_argument("--w_shape", type=float, default=1.0)
     ap.add_argument("--w_color", type=float, default=1.0)
+    ap.add_argument("--op", default="avg", choices=["avg", "cfg"],
+                    help="composition operator: weighted score average "
+                         "(reference op-1) or CFG conjunction "
+                         "eps_u + sum_i w_i (eps_i - eps_u) with eps_u = mean "
+                         "of the experts' null-token outputs (reference op-5, "
+                         "_5.py:313-325)")
     ap.add_argument("--sanity", action="store_true")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=0)
@@ -97,12 +103,15 @@ def main():
     # experts: same architecture, same (holdout-filtered) RGB data, each
     # conditioned on ONE factor — composition is the weighted score average
     # (reference op-1, …shape_and_color.py:352)
+    # both experts get a null token + CFG dropout so avg and cfg composition
+    # are compared on identical trained weights (null row unused by avg)
+    use_cfg = args.op == "cfg"
     shape_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
-                       num_classes=(n_classes[0],))
+                       num_classes=(n_classes[0],), null_token=True)
     color_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
-                       num_classes=(n_classes[1],))
+                       num_classes=(n_classes[1],), null_token=True)
     lab0 = jnp.zeros((1,), jnp.int32)
     print("training factor-0 expert (RGB | shape/digit) ...")
     sp, sl_losses = train.train_expert(
@@ -110,7 +119,8 @@ def main():
         shape_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
                          lab0),
         schedule, held_imgs, (held_s,), steps=cfg.train.steps,
-        batch_size=cfg.train.batch_size, lr=cfg.train.lr)
+        batch_size=cfg.train.batch_size, lr=cfg.train.lr,
+        uncond_prob=0.1, null_labels=(n_classes[0],))
     print(f"  final loss {float(sl_losses[-1]):.4f}")
     print("training factor-1 expert (RGB | color) ...")
     cp, cl_losses = train.train_expert(
@@ -118,16 +128,33 @@ def main():
         color_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
                          lab0),
         schedule, held_imgs, (held_c,), steps=cfg.train.steps,
-        batch_size=cfg.train.batch_size, lr=cfg.train.lr)
+        batch_size=cfg.train.batch_size, lr=cfg.train.lr,
+        uncond_prob=0.1, null_labels=(n_classes[1],))
     print(f"  final loss {float(cl_losses[-1]):.4f}")
 
     weights = jnp.array([args.w_shape, args.w_color])
     bs = args.samples_per_combo
 
+    null_s = jnp.full((bs,), n_classes[0], jnp.int32)
+    null_c = jnp.full((bs,), n_classes[1], jnp.int32)
+
     @jax.jit
     def _sample(sl, cl, k):
-        # labels are traced args: ONE compile covers every combo
+        # labels are traced args: ONE compile covers every combo. The
+        # cond+null fan-out folds into the batch axis (one 2B forward per
+        # expert — the reference's "highly efficient" layout,
+        # cross_attention.py:282-292).
         def eps_fn(x, t):
+            if use_cfg:
+                x2 = jnp.concatenate([x, x])
+                e_s2 = shape_model.apply(
+                    sp, x2, t, jnp.concatenate([sl, null_s]))
+                e_c2 = color_model.apply(
+                    cp, x2, t, jnp.concatenate([cl, null_c]))
+                e_s, e_su = e_s2[:bs], e_s2[bs:]
+                e_c, e_cu = e_c2[:bs], e_c2[bs:]
+                eps_u = 0.5 * (e_su + e_cu)  # shared baseline (_5.py:320)
+                return compose.cfg(eps_u, jnp.stack([e_s, e_c]), weights)
             e_shape = shape_model.apply(sp, x, t, sl)
             e_color = color_model.apply(cp, x, t, cl)
             return compose.weighted(jnp.stack([e_shape, e_color]), weights)
@@ -139,7 +166,8 @@ def main():
         return _sample(jnp.full((bs,), s_lab, jnp.int32),
                        jnp.full((bs,), c_lab, jnp.int32), k)
 
-    report = {"holdout": [list(h) for h in holdout], "combos": {}}
+    report = {"holdout": [list(h) for h in holdout], "op": args.op,
+              "dataset": args.dataset, "combos": {}}
     grids = []
     for s_lab in range(n_classes[0]):
         for c_lab in range(n_classes[1]):

@@ -84,8 +84,13 @@ def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
         ]
         return sum(losses)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, key):
+    # dataset passed as an argument (not a closure constant) so the jit
+    # cache keys on shapes — same convention as train.make_train_chunk
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("steps",))
+    def run(params, opt_state, key, images, labels, *, steps):
+        n = images.shape[0]
+
         def body(carry, i):
             params, opt_state = carry
             ki, kn = jax.random.split(jax.random.fold_in(key, i))
@@ -103,14 +108,23 @@ def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
             body, (params, opt_state), jnp.arange(steps))
         return params, opt_state, losses
 
-    params, opt_state, losses = run(params, opt_state, key)
+    params, opt_state, losses = run(params, opt_state, key, images, labels,
+                                    steps=steps)
     return model, params
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_apply(model: ProbeClassifier):
+    # flax modules are hashable dataclasses: one jitted apply per config
+    # (a fresh jax.jit(model.apply) per call never hits the jit cache and
+    # recompiles on every scoring call — measured ~0.8 s each)
+    return jax.jit(model.apply)
 
 
 def classify(model: ProbeClassifier, params: Params,
              images: Array) -> Tuple[Array, ...]:
     """Argmax predictions per factor head."""
-    logits = jax.jit(model.apply)(params, images)
+    logits = _jitted_apply(model)(params, images)
     return tuple(jnp.argmax(lg, axis=-1) for lg in logits)
 
 

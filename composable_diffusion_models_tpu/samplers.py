@@ -364,7 +364,8 @@ def _num_experts(eps_stack_fn, x_init) -> int:
 def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
                         sde: DDPMSchedule, key: Array, x_init: Array,
                         mode: str = "AND", temp: float = 1.0,
-                        bias: float = 0.0, k_experts: int = 2) -> Array:
+                        bias: float = 0.0,
+                        k_experts: Optional[int] = None) -> Array:
     """Parity: sample_superdiff at
     /root/reference/src/composing_conditional_diffusion_on_shape_and_color_6_1.py:330-429.
 
@@ -372,6 +373,8 @@ def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
     from drift/score inner products (compose.and_solve_k; the reference is
     hardcoded to 2 experts — K>2 is a beyond-reference capability).
     """
+    if k_experts is None:
+        k_experts = _num_experts(eps_stack_fn, x_init)
     tbl = sde.table()
     f_coeffs, g2s = sde.fd_sde_tables()
     n = sde.num_timesteps

@@ -186,29 +186,10 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     # consume the caller's arrays (they may be reused across calls)
     params = jax.tree_util.tree_map(jnp.copy, params)
     opt_state = tx.init(params)
-    loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
-                           null_labels=null_labels, time_first=time_first)
-    n = images.shape[0]
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1),
-                       static_argnames=("length",))
-    def run_chunk(params, opt_state, chunk_key, length=steps_per_scan):
-        def body(carry, i):
-            params, opt_state = carry
-            k = jax.random.fold_in(chunk_key, i)
-            kb, kl = jax.random.split(k)
-            idx = jax.random.randint(kb, (batch_size,), 0, n)
-            x0 = jnp.take(images, idx, axis=0)
-            batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
-            loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
-                                                      batch_labels)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(length))
-        return params, opt_state, losses
+    run_chunk = make_train_chunk(
+        apply_fn, schedule, tx, batch_size=batch_size,
+        uncond_prob=uncond_prob, null_labels=null_labels,
+        time_first=time_first)
 
     state_like = {"params": params, "opt_state": opt_state,
                   "step": jnp.zeros((), jnp.int32)}
@@ -226,7 +207,8 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
         if c < start_step // steps_per_scan:
             continue  # already covered by the restored checkpoint
         params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, c), length)
+            params, opt_state, jax.random.fold_in(key, c), images, labels,
+            length=length)
         all_losses.append(losses)
         done = min((c + 1) * steps_per_scan, steps)
         ckpt_mgr.save_step(name, {"params": params, "opt_state": opt_state,

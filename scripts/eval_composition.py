@@ -64,9 +64,11 @@ def main():
 
     cfg = get_config(args.preset, overrides)
     if args.sanity:
+        cfg.train.sanity = True  # apply_sanity is gated on this flag
         cfg.apply_sanity()
         args.probe_steps = 200
         args.samples_per_combo = 8
+        args.n_steps = min(args.n_steps, 20)
     holdout = [tuple(h) for h in json.loads(args.holdout)]
     key = jax.random.PRNGKey(args.seed)
     size = cfg.data.img_size

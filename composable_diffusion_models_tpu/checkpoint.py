@@ -61,22 +61,40 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, f"{name}_step_{step:09d}")
 
     def save_step(self, name: str, state: Pytree, step: int,
-                  keep: int = 3) -> str:
+                  keep: int = 3, wait: bool = False) -> str:
         """Save a resumable training state at ``step``; prune to ``keep``
-        most recent step checkpoints (keep-latest-k)."""
+        most recent step checkpoints (keep-latest-k).
+
+        Async by default (new over the reference's save-only torch.save):
+        the state is snapshotted to HOST first — safe even when the caller
+        immediately donates the device buffers into the next training chunk —
+        and the write overlaps training. Call :meth:`flush` (or pass
+        ``wait=True``) to block until durable; a crash mid-write just falls
+        back to the previous step checkpoint (orbax writes are atomic).
+        """
         assert keep >= 1, "keep-latest-k needs k >= 1"
         path = self._step_path(name, step)
         if os.path.exists(path):
+            self.flush()  # never rmtree under an in-flight write
             import shutil
             shutil.rmtree(path)
+        state = jax.device_get(state)
         self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
-        # prune to the newest `keep`, never the checkpoint just written
-        for old in self.step_list(name)[:-keep]:
+        if wait:
+            self._ckptr.wait_until_finished()
+        # prune to the newest `keep`, never the checkpoint just written —
+        # which may still be writing asynchronously and absent from the
+        # directory listing, so account for it explicitly
+        steps_known = sorted(set(self.step_list(name)) | {step})
+        for old in steps_known[:-keep]:
             if old != step:
                 import shutil
                 shutil.rmtree(self._step_path(name, old), ignore_errors=True)
         return path
+
+    def flush(self) -> None:
+        """Block until every in-flight async save is durable on disk."""
+        self._ckptr.wait_until_finished()
 
     def step_list(self, name: str):
         """Sorted steps for which a step checkpoint of ``name`` exists."""
@@ -93,6 +111,7 @@ class CheckpointManager:
     def restore_latest(self, name: str, like: Pytree):
         """Restore the newest step checkpoint. Returns (state, step) or
         (None, 0) when no step checkpoint exists."""
+        self.flush()  # an in-flight save of this process must be visible
         steps = self.step_list(name)
         if not steps:
             return None, 0

@@ -214,6 +214,7 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
         ckpt_mgr.save_step(name, {"params": params, "opt_state": opt_state,
                                   "step": jnp.asarray(done, jnp.int32)},
                            done, keep=keep)
+    ckpt_mgr.flush()  # async saves must be durable before we report done
     losses = (jnp.concatenate(all_losses) if all_losses
               else jnp.zeros((0,), jnp.float32))
     return params, losses

@@ -97,6 +97,7 @@ def test_save_step_keeps_latest_k(key, tmp_path):
     state = {"w": jnp.ones((2,))}
     for s in (10, 20, 30, 40):
         mgr.save_step("m", state, s, keep=2)
+    mgr.flush()  # saves are async: durability requires a flush
     assert mgr.step_list("m") == [30, 40]
     restored, step = mgr.restore_latest("m", state)
     assert step == 40 and jnp.array_equal(restored["w"], state["w"])

@@ -55,22 +55,27 @@ def main():
     cp = mgr.load(args.color_expert, like=cp_like)["params"]
 
     weights = jnp.array([args.w_shape, args.w_color])
+
+    @jax.jit
+    def sample_combo(sl, cl, k):
+        # labels traced: ONE compile covers all 9 combos (a per-combo
+        # closure would retrace the whole sampler 9 times)
+        def eps_fn(x, t):
+            e_shape = experts.gray_to_rgb(
+                shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
+            e_color = color_model.apply(cp, x, t, cl)
+            return compose.weighted(jnp.stack([e_shape, e_color]), weights)
+
+        x_init = jax.random.normal(k, (args.bs, size, size, 3))
+        return samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)
+
     grids = []
     for s_lab in range(3):
         for c_lab in range(3):
-            sl = jnp.full((args.bs,), s_lab, jnp.int32)
-            cl = jnp.full((args.bs,), c_lab, jnp.int32)
-
-            def eps_fn(x, t):
-                e_shape = experts.gray_to_rgb(
-                    shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
-                e_color = color_model.apply(cp, x, t, cl)
-                return compose.weighted(jnp.stack([e_shape, e_color]), weights)
-
-            x_init = jax.random.normal(jax.random.fold_in(key, s_lab * 3 + c_lab),
-                                       (args.bs, size, size, 3))
-            grids.append(samplers.ddim(eps_fn, schedule, x_init,
-                                       cfg.sample.n_steps))
+            grids.append(sample_combo(
+                jnp.full((args.bs,), s_lab, jnp.int32),
+                jnp.full((args.bs,), c_lab, jnp.int32),
+                jax.random.fold_in(key, s_lab * 3 + c_lab)))
     out = jnp.concatenate(grids, axis=0)
     path = save_grid(out, f"{mgr.results_dir}/ddim_composition_grid.png",
                      nrow=3 * args.bs)

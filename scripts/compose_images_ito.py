@@ -54,28 +54,32 @@ def main():
         key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)), lab0),
         "step": 0})["params"]
 
+    @jax.jit
+    def sample_combo(sl, cl, k_init, k_probe):
+        # labels traced: ONE compile covers all 9 combos (a per-combo
+        # closure would retrace the whole jvp-sampler 9 times)
+        # sigma-scaled scores s = -eps_hat: the divergence is taken of the
+        # RGB-lifted shape score w.r.t. the RGB input (the _2.py fix)
+        def shape_score(x, t):
+            return -experts.gray_to_rgb(
+                shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
+
+        def color_score(x, t):
+            return -color_model.apply(cp, x, t, cl)
+
+        x_init = jax.random.normal(k_init, (args.bs, size, size, 3))
+        return samplers.ito_kappa_ode(
+            (shape_score, color_score), schedule, k_probe, x_init,
+            args.n_steps, probe=args.probe)
+
     grids = []
     for s_lab in range(3):
         for c_lab in range(3):
-            sl = jnp.full((args.bs,), s_lab, jnp.int32)
-            cl = jnp.full((args.bs,), c_lab, jnp.int32)
-
-            # sigma-scaled scores s = -eps_hat: the divergence is taken of the
-            # RGB-lifted shape score w.r.t. the RGB input (the _2.py fix)
-            def shape_score(x, t):
-                return -experts.gray_to_rgb(
-                    shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
-
-            def color_score(x, t):
-                return -color_model.apply(cp, x, t, cl)
-
-            x_init = jax.random.normal(
+            grids.append(sample_combo(
+                jnp.full((args.bs,), s_lab, jnp.int32),
+                jnp.full((args.bs,), c_lab, jnp.int32),
                 jax.random.fold_in(key, s_lab * 3 + c_lab),
-                (args.bs, size, size, 3))
-            grids.append(samplers.ito_kappa_ode(
-                (shape_score, color_score), schedule,
-                jax.random.fold_in(key, 100 + s_lab * 3 + c_lab),
-                x_init, args.n_steps, probe=args.probe))
+                jax.random.fold_in(key, 100 + s_lab * 3 + c_lab)))
     out = jnp.concatenate(grids, axis=0)
     path = save_grid(out, f"{mgr.results_dir}/ito_composition_grid.png",
                      nrow=3 * args.bs)

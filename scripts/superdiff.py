@@ -51,6 +51,10 @@ def main():
     n_slots = len(cfg.model.num_classes)
     if args.labels:
         per_expert = jnp.asarray(json.loads(args.labels), jnp.int32)
+        if per_expert.shape != (len(names), n_slots):
+            ap.error(f"--labels must be a {len(names)}x{n_slots} list "
+                     f"(one label per expert per slot), got "
+                     f"{tuple(per_expert.shape)}")
         label_args = [jnp.broadcast_to(per_expert[:, s:s + 1], (len(names), bs))
                       for s in range(n_slots)]
     else:

@@ -18,6 +18,7 @@ Full run:
 """
 
 import argparse
+import functools
 import json
 
 import jax
@@ -49,12 +50,13 @@ def main():
     ap.add_argument("--n_steps", type=int, default=200)
     ap.add_argument("--w_shape", type=float, default=1.0)
     ap.add_argument("--w_color", type=float, default=1.0)
-    ap.add_argument("--op", default="avg", choices=["avg", "cfg"],
-                    help="composition operator: weighted score average "
-                         "(reference op-1) or CFG conjunction "
-                         "eps_u + sum_i w_i (eps_i - eps_u) with eps_u = mean "
-                         "of the experts' null-token outputs (reference op-5, "
-                         "_5.py:313-325)")
+    ap.add_argument("--op", default="avg",
+                    help="comma list of composition operators to evaluate on "
+                         "the same trained experts: avg (weighted score "
+                         "average, reference op-1) and/or cfg (CFG "
+                         "conjunction eps_u + sum_i w_i (eps_i - eps_u) with "
+                         "eps_u = mean of the experts' null-token outputs, "
+                         "reference op-5, _5.py:313-325)")
     ap.add_argument("--sanity", action="store_true")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=0)
@@ -107,7 +109,6 @@ def main():
     # (reference op-1, …shape_and_color.py:352)
     # both experts get a null token + CFG dropout so avg and cfg composition
     # are compared on identical trained weights (null row unused by avg)
-    use_cfg = args.op == "cfg"
     shape_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
                        num_classes=(n_classes[0],), null_token=True)
@@ -140,14 +141,14 @@ def main():
     null_s = jnp.full((bs,), n_classes[0], jnp.int32)
     null_c = jnp.full((bs,), n_classes[1], jnp.int32)
 
-    @jax.jit
-    def _sample(sl, cl, k):
-        # labels are traced args: ONE compile covers every combo. The
-        # cond+null fan-out folds into the batch axis (one 2B forward per
-        # expert — the reference's "highly efficient" layout,
+    @functools.partial(jax.jit, static_argnames=("op",))
+    def _sample(sl, cl, k, op):
+        # labels are traced args: ONE compile per operator covers every
+        # combo. The cond+null fan-out folds into the batch axis (one 2B
+        # forward per expert — the reference's "highly efficient" layout,
         # cross_attention.py:282-292).
         def eps_fn(x, t):
-            if use_cfg:
+            if op == "cfg":
                 x2 = jnp.concatenate([x, x])
                 e_s2 = shape_model.apply(
                     sp, x2, t, jnp.concatenate([sl, null_s]))
@@ -164,43 +165,50 @@ def main():
         x_init = jax.random.normal(k, (bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)
 
-    def sample_combo(s_lab, c_lab, k):
-        return _sample(jnp.full((bs,), s_lab, jnp.int32),
-                       jnp.full((bs,), c_lab, jnp.int32), k)
-
-    report = {"holdout": [list(h) for h in holdout], "op": args.op,
-              "dataset": args.dataset, "combos": {}}
-    grids = []
-    for s_lab in range(n_classes[0]):
-        for c_lab in range(n_classes[1]):
-            samples = sample_combo(
-                s_lab, c_lab,
-                jax.random.fold_in(key, 10 + s_lab * n_classes[1] + c_lab))
-            grids.append(samples[:4])
-            scores = ceval.compositional_scores(
-                probe, probe_params, samples, (s_lab, c_lab))
-            scores["held_out"] = (s_lab, c_lab) in holdout
-            report["combos"][f"{s_lab},{c_lab}"] = scores
-            tag = " (HELD OUT)" if scores["held_out"] else ""
-            print(f"shape={s_lab} color={c_lab}{tag}: "
-                  f"joint_acc={scores['joint_acc']:.3f} "
-                  f"shape_acc={scores['factor_0_acc']:.3f} "
-                  f"color_acc={scores['factor_1_acc']:.3f}")
-
-    held = [v["joint_acc"] for v in report["combos"].values() if v["held_out"]]
-    seen = [v["joint_acc"] for v in report["combos"].values()
-            if not v["held_out"]]
-    report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
-    report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
     from composable_diffusion_models_tpu.utils.viz import save_grid
-    grid_path = save_grid(jnp.concatenate(grids, axis=0),
-                          f"{mgr.results_dir}/eval_samples_grid.png", nrow=12)
-    print(f"sample grid saved to {grid_path}")
+    full_report = {"holdout": [list(h) for h in holdout],
+                   "dataset": args.dataset,
+                   "weights": [args.w_shape, args.w_color], "ops": {}}
+    for op in args.op.split(","):
+        report = {"combos": {}}
+        grids = []
+        print(f"--- operator: {op} ---")
+        for s_lab in range(n_classes[0]):
+            for c_lab in range(n_classes[1]):
+                samples = _sample(
+                    jnp.full((bs,), s_lab, jnp.int32),
+                    jnp.full((bs,), c_lab, jnp.int32),
+                    jax.random.fold_in(key,
+                                       10 + s_lab * n_classes[1] + c_lab),
+                    op)
+                grids.append(samples[:4])
+                scores = ceval.compositional_scores(
+                    probe, probe_params, samples, (s_lab, c_lab))
+                scores["held_out"] = (s_lab, c_lab) in holdout
+                report["combos"][f"{s_lab},{c_lab}"] = scores
+                tag = " (HELD OUT)" if scores["held_out"] else ""
+                print(f"shape={s_lab} color={c_lab}{tag}: "
+                      f"joint_acc={scores['joint_acc']:.3f} "
+                      f"shape_acc={scores['factor_0_acc']:.3f} "
+                      f"color_acc={scores['factor_1_acc']:.3f}")
+
+        held = [v["joint_acc"] for v in report["combos"].values()
+                if v["held_out"]]
+        seen = [v["joint_acc"] for v in report["combos"].values()
+                if not v["held_out"]]
+        report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
+        report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
+        grid_path = save_grid(
+            jnp.concatenate(grids, axis=0),
+            f"{mgr.results_dir}/eval_samples_grid_{op}.png", nrow=12)
+        print(f"[{op}] held-out joint acc {report['heldout_joint_acc']:.3f} "
+              f"| seen joint acc {report['seen_joint_acc']:.3f} "
+              f"| grid {grid_path}")
+        full_report["ops"][op] = report
+
     path = f"{mgr.results_dir}/compositional_eval.json"
     with open(path, "w") as f:
-        json.dump(report, f, indent=2)
-    print(f"held-out joint acc {report['heldout_joint_acc']:.3f} | "
-          f"seen joint acc {report['seen_joint_acc']:.3f}")
+        json.dump(full_report, f, indent=2)
     print(f"report saved to {path}")
 
 

@@ -147,6 +147,20 @@ def main():
         # combo. The cond+null fan-out folds into the batch axis (one 2B
         # forward per expert — the reference's "highly efficient" layout,
         # cross_attention.py:282-292).
+        if op == "ito":
+            # equal-density-path AND (reference op-2): kappa from jvp
+            # divergences, probability-flow ODE
+            def shape_score(x, t):
+                return -shape_model.apply(sp, x, t, sl)
+
+            def color_score(x, t):
+                return -color_model.apply(cp, x, t, cl)
+
+            x_init = jax.random.normal(k, (bs, size, size, 3))
+            return samplers.ito_kappa_ode(
+                (shape_score, color_score), schedule,
+                jax.random.fold_in(k, 1), x_init, args.n_steps)
+
         def eps_fn(x, t):
             if op == "cfg":
                 x2 = jnp.concatenate([x, x])

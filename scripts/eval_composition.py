@@ -57,6 +57,11 @@ def main():
                          "conjunction eps_u + sum_i w_i (eps_i - eps_u) with "
                          "eps_u = mean of the experts' null-token outputs, "
                          "reference op-5, _5.py:313-325)")
+    ap.add_argument("--uncond_prob", type=float, default=0.1,
+                    help="CFG label-dropout rate for expert training; 0 "
+                         "trains plain conditional experts (the measured "
+                         "best for the avg operator; cfg then has no null "
+                         "row to use)")
     ap.add_argument("--sanity", action="store_true")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=0)
@@ -71,6 +76,8 @@ def main():
         args.probe_steps = 200
         args.samples_per_combo = 8
         args.n_steps = min(args.n_steps, 20)
+    if args.uncond_prob == 0.0 and "cfg" in args.op.split(","):
+        ap.error("--op cfg needs --uncond_prob > 0 (null-token training)")
     holdout = [tuple(h) for h in json.loads(args.holdout)]
     key = jax.random.PRNGKey(args.seed)
     size = cfg.data.img_size
@@ -123,7 +130,7 @@ def main():
                          lab0),
         schedule, held_imgs, (held_s,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
-        uncond_prob=0.1, null_labels=(n_classes[0],))
+        uncond_prob=args.uncond_prob, null_labels=(n_classes[0],))
     print(f"  final loss {float(sl_losses[-1]):.4f}")
     print("training factor-1 expert (RGB | color) ...")
     cp, cl_losses = train.train_expert(
@@ -132,7 +139,7 @@ def main():
                          lab0),
         schedule, held_imgs, (held_c,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
-        uncond_prob=0.1, null_labels=(n_classes[1],))
+        uncond_prob=args.uncond_prob, null_labels=(n_classes[1],))
     print(f"  final loss {float(cl_losses[-1]):.4f}")
 
     weights = jnp.array([args.w_shape, args.w_color])

@@ -19,7 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="mnist_image")
     ap.add_argument("--name", default="expert")
-    ap.add_argument("--sampler", default=None, choices=[None, "em", "ddim", "ode"])
+    ap.add_argument("--sampler", default=None,
+                    choices=[None, "em", "ddim", "ode", "dpmpp"])
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="stochastic-DDIM noise level (0 = deterministic)")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -48,8 +51,13 @@ def main():
         score_fn = lambda x, t: -eps_fn(x, t) / schedule.sigma(t)
         out = samplers.prob_flow_ode(score_fn, schedule, x_init,
                                      cfg.sample.n_steps)
+    elif cfg.sample.sampler == "dpmpp":
+        out = samplers.dpm_solver_pp_2m(eps_fn, schedule, x_init,
+                                        cfg.sample.n_steps)
     else:
-        out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)
+        out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps,
+                            eta=args.eta,
+                            key=jax.random.fold_in(key, 1) if args.eta else None)
 
     path = save_grid(out, f"{mgr.results_dir}/{args.name}_samples.png")
     print(f"samples saved to {path}")

@@ -143,7 +143,7 @@ def measure_shapes_throughput(iters: int = 3) -> float:
     schedule = VPSchedule()
     w = jnp.ones((2,), jnp.float32)
     bs = 128  # measured sweet spot (64: 161, 128: 205, 192: 181 img/s)
-    labels = jnp.zeros((2, bs), jnp.int32)
+    labels = experts.per_expert(jnp.zeros((2, bs), jnp.int32))
 
     def eps_fn(x, t):
         eps = stack(x.astype(jnp.bfloat16), t.astype(jnp.bfloat16), labels)

@@ -62,8 +62,9 @@ class CheckpointManager:
 
     def save_step(self, name: str, state: Pytree, step: int,
                   keep: int = 3, wait: bool = False) -> str:
-        """Save a resumable training state at ``step``; prune to ``keep``
-        most recent step checkpoints (keep-latest-k).
+        """Save a resumable training state at ``step``; prune to the ``keep``
+        most recent DURABLE step checkpoints (keep-latest-k; the in-flight
+        write is extra, so up to keep+1 directories exist transiently).
 
         Async by default (new over the reference's save-only torch.save):
         the state is snapshotted to HOST first — safe even when the caller
@@ -82,14 +83,16 @@ class CheckpointManager:
         self._ckptr.save(path, state)
         if wait:
             self._ckptr.wait_until_finished()
-        # prune to the newest `keep`, never the checkpoint just written —
-        # which may still be writing asynchronously and absent from the
-        # directory listing, so account for it explicitly
-        steps_known = sorted(set(self.step_list(name)) | {step})
-        for old in steps_known[:-keep]:
-            if old != step:
-                import shutil
-                shutil.rmtree(self._step_path(name, old), ignore_errors=True)
+        # prune DURABLE checkpoints only, to the newest `keep` of them. The
+        # in-flight step is excluded from the budget: counting it would let
+        # keep=1 delete the previous durable checkpoint while the new one is
+        # still writing — a crash in that window would leave zero restorable
+        # states, contradicting the fallback guarantee above. Steady state is
+        # `keep` durable + 1 in-flight directory.
+        durable = [s for s in self.step_list(name) if s != step]
+        for old in durable[:-keep]:
+            import shutil
+            shutil.rmtree(self._step_path(name, old), ignore_errors=True)
         return path
 
     def flush(self) -> None:

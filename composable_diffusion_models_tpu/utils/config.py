@@ -120,6 +120,21 @@ def _preset_shapes_ddim() -> Config:
     return c
 
 
+def _preset_shapes_bbox() -> Config:
+    """3-factor (shape, color, bbox) workload: three single-factor experts
+    composed K=3 (ref src/composing_conditional_diffusion_on_shape_and_
+    color_4.py — white bg, bbox outline third factor, T=500 DDPM)."""
+    c = Config(name="shapes_bbox")
+    c.model = ModelConfig(in_channels=3, num_classes=(3,))
+    c.data = DataConfig(dataset="shapes_bbox", img_size=64, n=5000,
+                        holdout=((2, 2),), background="white")
+    c.schedule = ScheduleConfig(family="ddpm", num_timesteps=500)
+    c.sample.sampler = "ancestral"
+    c.sample.n_steps = 500
+    c.sample.weights = (1.0, 1.0, 1.0)
+    return c
+
+
 def _preset_colored_mnist_guided() -> Config:
     c = Config(name="colored_mnist_guided")
     c.model = ModelConfig(in_channels=3, num_classes=(10, 10),
@@ -144,6 +159,7 @@ PRESETS = {
     "mnist_image": _preset_mnist_image,
     "mnist_latent2d": _preset_mnist_latent2d,
     "shapes_ddim": _preset_shapes_ddim,
+    "shapes_bbox": _preset_shapes_bbox,
     "colored_mnist_guided": _preset_colored_mnist_guided,
     "ito_cross_attention": _preset_ito_cross_attention,
 }

@@ -61,6 +61,8 @@ def build_dataset(cfg: Config, key):
         "shapes": dict(img_size=d.img_size, grayscale=d.grayscale,
                        holdout=list(d.holdout) or None,
                        background=d.background),
+        "shapes_bbox": dict(img_size=d.img_size,
+                            holdout=list(d.holdout) or None),
         "toy2d": dict(up=True),
         "cifar10": dict(classes=d.classes, data_dir=d.data_dir),
     }.get(d.dataset)
@@ -84,15 +86,22 @@ def init_params(cfg: Config, model, key):
 
 
 def add_runtime_flags(ap) -> None:
-    """--profile / --debug_nans on every entry point (SURVEY.md §5.1/§5.2)."""
+    """--profile / --debug_nans / --cpu on every entry point (SURVEY.md
+    §5.1/§5.2)."""
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler Perfetto trace of the run "
                          "into outputs/profile")
     ap.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail fast on NaN/Inf)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize overrides the "
+                         "JAX_PLATFORMS env var, so this flips jax.config "
+                         "after import — useful when the TPU tunnel is down)")
 
 
 def apply_runtime_flags(args) -> None:
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
     if getattr(args, "profile", False):

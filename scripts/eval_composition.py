@@ -53,9 +53,11 @@ def main():
     ap.add_argument("--op", default="avg",
                     help="comma list of composition operators to evaluate on "
                          "the same trained experts: avg (weighted score "
-                         "average, reference op-1) and/or cfg (CFG "
-                         "conjunction eps_u + sum_i w_i (eps_i - eps_u) with "
-                         "eps_u = mean of the experts' null-token outputs, "
+                         "average, reference op-1), ito (equal-density-path "
+                         "AND via jvp-divergence kappa + prob-flow ODE, "
+                         "reference op-2), and/or cfg (CFG conjunction "
+                         "eps_u + sum_i w_i (eps_i - eps_u) with eps_u = "
+                         "mean of the experts' null-token outputs, "
                          "reference op-5, _5.py:313-325)")
     ap.add_argument("--uncond_prob", type=float, default=0.1,
                     help="CFG label-dropout rate for expert training; 0 "
@@ -76,6 +78,11 @@ def main():
         args.probe_steps = 200
         args.samples_per_combo = 8
         args.n_steps = min(args.n_steps, 20)
+    known_ops = ("avg", "ito", "cfg")
+    bad = [o for o in args.op.split(",") if o not in known_ops]
+    if bad:
+        ap.error(f"unknown --op {bad}; choose from {known_ops} "
+                 "(fail fast — expert training costs minutes)")
     if args.uncond_prob == 0.0 and "cfg" in args.op.split(","):
         ap.error("--op cfg needs --uncond_prob > 0 (null-token training)")
     holdout = [tuple(h) for h in json.loads(args.holdout)]

@@ -58,8 +58,9 @@ def main():
     x_init = jax.random.normal(key, shape)
     # conditional models: label 0 per slot per expert by default
     n_slots = len(cfg.model.num_classes)
-    label_args = [jnp.zeros((len(names), cfg.sample.batch_size), jnp.int32)
-                  for _ in range(n_slots)]
+    label_args = [experts.per_expert(
+        jnp.zeros((len(names), cfg.sample.batch_size), jnp.int32))
+        for _ in range(n_slots)]
     out = samplers.layout(
         lambda x, ti: stack(x, ti.astype(jnp.float32), *label_args),
         sde, key, x_init, masks)

@@ -55,13 +55,14 @@ def main():
             ap.error(f"--labels must be a {len(names)}x{n_slots} list "
                      f"(one label per expert per slot), got "
                      f"{tuple(per_expert.shape)}")
-        label_args = [jnp.broadcast_to(per_expert[:, s:s + 1], (len(names), bs))
-                      for s in range(n_slots)]
+        label_args = [experts.per_expert(
+            jnp.broadcast_to(per_expert[:, s:s + 1], (len(names), bs)))
+            for s in range(n_slots)]
     else:
         # conditional models default to label 0 per slot (pass --labels for
         # per-expert conditioning)
-        label_args = [jnp.zeros((len(names), bs), jnp.int32)
-                      for _ in range(n_slots)]
+        label_args = [experts.per_expert(
+            jnp.zeros((len(names), bs), jnp.int32)) for _ in range(n_slots)]
 
     def eps_stack_fn(x, ti):
         return stack(x, ti.astype(jnp.float32), *label_args)

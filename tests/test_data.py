@@ -157,3 +157,46 @@ def test_colored_mnist_holdout_pairs(key):
     assert (1, 0) not in pairs and (2, 2) not in pairs
     assert imgs.shape[0] == d.shape[0] == c.shape[0]
     assert len(pairs) > 0
+
+
+def test_shapes_bbox_dataset():
+    """3-factor dataset (VERDICT r1 missing-1): white bg, colored shape,
+    colored bbox OUTLINE at padding 4 / width 2 on top
+    (ref src/composing_conditional_diffusion_on_shape_and_color_4.py:89-116)."""
+    from composable_diffusion_models_tpu import data
+
+    imgs, s, c, b = data.make_shapes_bbox_dataset(27, img_size=64)
+    assert imgs.shape == (27, 64, 64, 3)
+    assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0
+    # bbox color cycles idx % 3 independently of the shape/color combo
+    np.testing.assert_array_equal(np.asarray(b), np.arange(27) % 3)
+    arr = np.asarray(imgs)
+    lut = np.asarray(data._SHAPE_COLOR_RGB) * 2.0 - 1.0
+    # corner pixel (0,0) is outside the box: white background
+    np.testing.assert_allclose(arr[:, 0, 0, :], 1.0)
+    # pixel (4,10) lies on the top bbox stroke -> exactly the bbox color
+    for i in range(6):
+        np.testing.assert_allclose(arr[i, 4, 10, :], lut[i % 3], atol=1e-6)
+    # pixel (5,10) is the second (inward) stroke row; (6,10) is interior white
+    np.testing.assert_allclose(arr[0, 5, 10, :], lut[0], atol=1e-6)
+    np.testing.assert_allclose(arr[0, 6, 10, :], 1.0, atol=1e-6)
+    # center pixel carries the SHAPE color for every shape at this geometry
+    for i in range(9):
+        np.testing.assert_allclose(arr[i, 32, 32, :],
+                                   lut[int(np.asarray(c)[i])], atol=1e-6)
+
+
+def test_shapes_bbox_holdout():
+    from composable_diffusion_models_tpu import data
+
+    imgs, s, c, b = data.make_shapes_bbox_dataset(64, img_size=32,
+                                                  holdout=[(2, 2)])
+    pairs = set(zip(np.asarray(s).tolist(), np.asarray(c).tolist()))
+    assert (2, 2) not in pairs and len(pairs) == 8
+
+
+def test_shapes_bbox_registry(key):
+    from composable_diffusion_models_tpu.data import get_dataset
+
+    imgs, s, c, b = get_dataset("shapes_bbox", key, n=12, img_size=32)
+    assert imgs.shape == (12, 32, 32, 3) and b.shape == (12,)

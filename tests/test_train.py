@@ -98,9 +98,32 @@ def test_save_step_keeps_latest_k(key, tmp_path):
     for s in (10, 20, 30, 40):
         mgr.save_step("m", state, s, keep=2)
     mgr.flush()  # saves are async: durability requires a flush
-    assert mgr.step_list("m") == [30, 40]
+    # the in-flight step is excluded from the keep budget (pruning it away
+    # could leave zero durable states on a crash mid-write), so after flush
+    # `keep` durable + the just-written step remain
+    assert mgr.step_list("m") == [20, 30, 40]
     restored, step = mgr.restore_latest("m", state)
     assert step == 40 and jnp.array_equal(restored["w"], state["w"])
+    # next save prunes the now-durable backlog down to keep + in-flight
+    mgr.save_step("m", state, 50, keep=2)
+    mgr.flush()
+    assert mgr.step_list("m") == [30, 40, 50]
+
+
+def test_save_step_keep1_never_drops_last_durable(key, tmp_path):
+    """keep=1 must never delete the previous durable checkpoint while the
+    new save is still in flight (ADVICE r1): after every save there is at
+    least one checkpoint that predates the in-flight write."""
+    from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path), "exp")
+    state = {"w": jnp.ones((2,))}
+    mgr.save_step("m", state, 1, keep=1, wait=True)
+    mgr.save_step("m", state, 2, keep=1)  # async: 2 may still be writing
+    assert 1 in mgr.step_list("m"), "durable step pruned under in-flight save"
+    mgr.flush()
+    mgr.save_step("m", state, 3, keep=1)
+    mgr.flush()
+    assert mgr.step_list("m") == [2, 3]
 
 
 def test_ema_update_converges_to_params(key):

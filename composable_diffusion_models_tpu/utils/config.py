@@ -120,6 +120,19 @@ def _preset_shapes_ddim() -> Config:
     return c
 
 
+def _preset_shapes_latent() -> Config:
+    """Per-shape-class PCA-latent MLP experts composed in the 2D latent
+    (ref shapes/train_latent_expert.py + visualize_composition_latent_*)."""
+    c = Config(name="shapes_latent")
+    c.model = ModelConfig(kind="mlp", hidden=256, depth=3, latent_dim=2)
+    c.data = DataConfig(dataset="shapes_grayscale", img_size=64, n=10000,
+                        grayscale=True)
+    c.train = TrainConfig(steps=4000, batch_size=512, lr=1e-3)
+    c.sample.sampler = "ode"
+    c.sample.n_steps = 1000
+    return c
+
+
 def _preset_shapes_bbox() -> Config:
     """3-factor (shape, color, bbox) workload: three single-factor experts
     composed K=3 (ref src/composing_conditional_diffusion_on_shape_and_
@@ -159,6 +172,7 @@ PRESETS = {
     "mnist_image": _preset_mnist_image,
     "mnist_latent2d": _preset_mnist_latent2d,
     "shapes_ddim": _preset_shapes_ddim,
+    "shapes_latent": _preset_shapes_latent,
     "shapes_bbox": _preset_shapes_bbox,
     "colored_mnist_guided": _preset_colored_mnist_guided,
     "ito_cross_attention": _preset_ito_cross_attention,

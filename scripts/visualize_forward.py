@@ -2,7 +2,12 @@
 """Forward-process diagnostic (parity:
 /root/reference/mnist/visualize_forward_latent.py:44-69 and
 shapes/visualize_forward_shapes.py): scatter PCA latents (or image pixels'
-mean/std) under q_t across a time grid to validate schedule + codec."""
+mean/std) under q_t across a time grid to validate schedule + codec.
+
+``--toy2d`` switches to the 2D educational demo
+(/root/reference/notebook/diffusion_edu.py:19-60): raw 4-Gaussian-grid toy
+points diffused under the jax-faithful sigma = t schedule, scattered over
+t in [0, 1] with fixed (-3, 3) limits — no PCA involved."""
 
 import argparse
 import os
@@ -21,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="mnist_latent2d")
     ap.add_argument("--pca", default="outputs/pca")
+    ap.add_argument("--toy2d", action="store_true",
+                    help="2D toy forward demo (diffusion_edu.py), no PCA")
+    ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--out", default="outputs/forward_diag.png")
     add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
@@ -28,16 +36,24 @@ def main():
 
     cfg = get_config(args.preset, overrides)
     key = jax.random.PRNGKey(cfg.train.seed)
-    schedule = VPSchedule(kind=cfg.schedule.kind)
-    images, (labels, *_) = build_dataset(cfg, key)
-    z = load_pca(args.pca).encode(images)
+    if args.toy2d:
+        # the edu demo runs the sigma = t notebook convention
+        from composable_diffusion_models_tpu import data as data_lib
+        schedule = VPSchedule(kind="jax_faithful")
+        z = data_lib.toy2d(jax.random.fold_in(key, 1), args.n, up=True)
+        labels = jnp.zeros((args.n,), jnp.int32)
+        lim = 3.0  # diffusion_edu.py's fixed plot limits
+    else:
+        schedule = VPSchedule(kind=cfg.schedule.kind)
+        images, (labels, *_) = build_dataset(cfg, key)
+        z = load_pca(args.pca).encode(images)
+        lim = float(jnp.abs(z).max()) * 1.2
 
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     t_grid = [1e-3, 0.2, 0.4, 0.6, 0.8, 1.0]
     fig, axes = plt.subplots(1, len(t_grid), figsize=(4 * len(t_grid), 4))
-    lim = float(jnp.abs(z).max()) * 1.2
     for ax, t in zip(axes, t_grid):
         xt, _ = schedule.q_t(jax.random.fold_in(key, int(t * 1000)), z,
                              jnp.full((z.shape[0],), t))

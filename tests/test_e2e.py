@@ -64,3 +64,34 @@ def test_mnist_compose_pipeline(key):
     # the same expert stack drives the E-M composer (compose_scores parity)
     out2 = samplers.euler_maruyama(eps_fn, sch, key, x_init, 10)
     assert bool(jnp.all(jnp.isfinite(out2)))
+
+
+def test_cifar10_class_split_expert_training(key, tmp_path):
+    """CIFAR-10 smoke (VERDICT r1 next-9): fake binary batches drive the
+    loader and a sanity train of two class-split experts (the workload of
+    /root/reference/src/composing_colored_mnist.py:321-329 — no egress, so
+    the binaries are synthesized in the CIFAR-10 on-disk format)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n_per = 16
+    for b in (1, 2):
+        labels = np.tile(np.arange(4, dtype=np.uint8), n_per // 4)
+        pixels = rng.integers(0, 256, size=(n_per, 3072), dtype=np.uint8)
+        rows = np.concatenate([labels[:, None], pixels], axis=1)
+        rows.tofile(tmp_path / f"data_batch_{b}.bin")
+
+    sch = VPSchedule()
+    m = UNet(in_channels=3, base_dim=4, channel_mults=(1, 2))
+    losses_by_split = []
+    for classes in ([0, 1], [2, 3]):
+        imgs, labels = data.load_cifar10(str(tmp_path), classes=classes)
+        assert imgs.shape == (16, 32, 32, 3)
+        assert set(np.asarray(labels).tolist()) == set(classes)
+        p0 = m.init(key, imgs[:1], jnp.ones((1,)))
+        p, losses = train.train_expert(key, m.apply, p0, sch, imgs,
+                                       steps=4, batch_size=8, lr=1e-3,
+                                       steps_per_scan=4)
+        assert bool(jnp.all(jnp.isfinite(losses)))
+        losses_by_split.append(float(losses[-1]))
+    assert len(losses_by_split) == 2

@@ -156,3 +156,131 @@ class TestSuperDiffGoldenParity:
         np.testing.assert_allclose(
             np.asarray(our_out).transpose(0, 3, 1, 2), ref_out.numpy(),
             atol=1e-4)
+
+
+def _load_notebook_pytorch():
+    """Exec the reference's canonical PyTorch notebook translation up to (not
+    including) its module-level training run (superposition_edu_pytorch.py:209+
+    trains models at import time, so a plain import is impossible)."""
+    src = open("/root/reference/notebook/superposition_edu_pytorch.py").read()
+    src = src.split("# --- Main Execution ---")[0]
+    ns = {}
+    exec(compile(src, "superposition_edu_pytorch.py", "exec"), ns)
+    return types.SimpleNamespace(**ns)
+
+
+class TestKappaItoGoldenParity:
+    """compose.kappa_ito vs the reference's own get_kappa
+    (/root/reference/notebook/superposition_edu_pytorch.py:193-207, the
+    canonical torch translation of superposition_edu.py:198-204)."""
+
+    def test_kappa_fixed_scores_and_divergences(self):
+        ref = _load_notebook_pytorch()
+        from composable_diffusion_models_tpu import compose
+
+        rng = np.random.default_rng(11)
+        s1 = rng.normal(size=(16, 2)).astype(np.float32)
+        s2 = rng.normal(size=(16, 2)).astype(np.float32)
+        d1 = rng.normal(size=(16, 1)).astype(np.float32)
+        d2 = rng.normal(size=(16, 1)).astype(np.float32)
+        for t_val in (0.9, 0.5, 0.1):
+            ref_kappa = ref.get_kappa(
+                torch.tensor(t_val),
+                (torch.tensor(d1), torch.tensor(d2)),
+                (torch.tensor(s1), torch.tensor(s2)), "cpu").numpy()
+            # the notebook runs the sigma = t convention (log_sigma = log t)
+            sigma_t = float(np.exp(ref.log_sigma(torch.tensor(t_val))))
+            ours = compose.kappa_ito(
+                jnp.float32(sigma_t),
+                (jnp.asarray(d1), jnp.asarray(d2)),
+                (jnp.asarray(s1), jnp.asarray(s2)))
+            np.testing.assert_allclose(np.asarray(ours), ref_kappa[:, 0],
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestDDIMGoldenParity:
+    """Full fixed-input DDIM trajectory vs the reference's sample_full_ddim
+    update (/root/reference/shapes/train_image.py:43-85; the function itself
+    is unimportable here — its module needs torchvision — so the test runs
+    its exact per-step update from the same schedule module it uses)."""
+
+    def test_deterministic_trajectory(self):
+        import schedule as ref_sched  # mnist/schedule.py == shapes/schedule.py
+        from composable_diffusion_models_tpu import samplers
+
+        T = 40
+        rng = np.random.default_rng(5)
+        x_init = rng.normal(size=(4, 1, 8, 8)).astype(np.float32)
+        # exact eps posterior for x0 ~ N(0, I) under the stable schedule
+        # (alpha^2 + sigma^2 = 1): E[eps | x_t] = sigma(t) x_t
+        x = torch.tensor(x_init)
+        time_steps = torch.linspace(1.0, 1e-3, T + 1)
+        for i in range(T):  # train_image.py:61-82, noise-free by construction
+            t_now, t_next = time_steps[i], time_steps[i + 1]
+            t = torch.full((x.shape[0],), float(t_now))
+            eps_hat = ref_sched.sigma(t).view(-1, 1, 1, 1) * x
+            a = ref_sched.alpha(t).view(-1, 1, 1, 1)
+            s = ref_sched.sigma(t).view(-1, 1, 1, 1)
+            x0_pred = ((x - s * eps_hat) / a).clamp_(-1, 1)  # unconditional
+            a_n = ref_sched.alpha(t_next.expand(1)).view(-1, 1, 1, 1)
+            s_n = ref_sched.sigma(t_next.expand(1)).view(-1, 1, 1, 1)
+            x = a_n * x0_pred + s_n * eps_hat
+        ref_out = x.numpy()
+
+        sched = VPSchedule(kind="stable")
+
+        def eps_fn(xx, tt):
+            return sched.sigma(tt) * xx
+
+        # clip_min_alpha=0 reproduces the reference's UNCONDITIONAL x0 clamp
+        # (the library default gates it at alpha >= 0.3 — samplers.py docs)
+        ours = samplers.ddim(eps_fn, sched,
+                             jnp.asarray(x_init.transpose(0, 2, 3, 1)),
+                             T, clip=(-1.0, 1.0), clip_min_alpha=0.0)
+        np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                                   ref_out, rtol=1e-4, atol=1e-4)
+
+
+class TestEulerMaruyamaSignRegression:
+    """Pin the deliberate sign fix (samplers.py euler_maruyama docstring):
+    the reference's E-M step (/root/reference/mnist/compose_scores.py:40-46)
+    moves AGAINST the score and diverges even with the EXACT Gaussian score;
+    the framework's step contracts to the data marginal. Noise zeroed (xi=0)
+    so both trajectories are deterministic."""
+
+    def test_reference_update_diverges_ours_contracts(self):
+        import schedule as ref_sched
+        from composable_diffusion_models_tpu import samplers
+        import jax
+
+        n_steps, bs = 400, 256
+        rng = np.random.default_rng(7)
+        x_init = rng.normal(size=(bs, 2)).astype(np.float32)
+
+        # reference update, verbatim semantics (compose_scores.py:37-46),
+        # exact eps for x0 ~ N(0, I): eps = sigma(t) x
+        x = torch.tensor(x_init)
+        dt = 1.0 / n_steps
+        for i in range(n_steps):
+            t_val = 1.0 - i * dt
+            t = torch.full((bs,), t_val)
+            eps_hat = ref_sched.sigma(t).view(-1, 1) * x
+            drift = (ref_sched.dlog_alphadt(t).view(-1, 1) * x
+                     - ref_sched.beta(t).view(-1, 1)
+                     / ref_sched.sigma(t).view(-1, 1) * eps_hat)
+            x = x + (-drift * dt)  # + diffusion * N, zeroed
+            if not torch.isfinite(x).all() or x.abs().max() > 1e6:
+                break
+        ref_final_scale = float(x.abs().max())
+
+        sched = VPSchedule(kind="stable")
+        ours = samplers.euler_maruyama(
+            lambda xx, tt: sched.sigma(tt) * xx, sched, jax.random.PRNGKey(0),
+            jnp.asarray(x_init), n_steps, xi=0.0)
+        our_std = float(jnp.std(ours))
+
+        assert ref_final_scale > 1e3, (
+            f"reference E-M no longer diverges (max {ref_final_scale:.2e}) — "
+            "re-evaluate the sign-fix claim")
+        # exact-score prob-flow ODE preserves the N(0,1) marginal
+        assert 0.8 < our_std < 1.2, f"our E-M drifted: std {our_std:.3f}"

@@ -216,6 +216,7 @@ class CrossAttention(nn.Module):
 
     num_heads: int = 4
     dtype: Any = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
@@ -231,10 +232,21 @@ class CrossAttention(nn.Module):
             return z.reshape(z.shape[0], z.shape[1], self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(head_dim, jnp.float32))
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
+        if self.use_flash:
+            # Pallas blockwise kernel (ops/attention.py) over (B, H, N, D):
+            # same math, O(block) memory — the long-context path (big images
+            # or real text conditioning; at the reference's <=2-token context
+            # the einsum pair below is already optimal)
+            from ..ops.attention import flash_attention
+            out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(head_dim, jnp.float32))
+            attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype)(out)
         return x + out.reshape(b, h, w, c)
 
@@ -254,6 +266,9 @@ class UNet(nn.Module):
                       (pass label == num_classes[i] for "uncond").
       cross_attn:     attend HW tokens to label-embedding context instead of
                       adding labels into the time embedding (GuidedUNet).
+      flash_attn:     route the cross-attention through the Pallas blockwise
+                      flash kernel (ops/attention.py) — identical math and
+                      params, O(block) memory for long contexts.
     """
 
     in_channels: int = 1
@@ -264,6 +279,7 @@ class UNet(nn.Module):
     null_token: bool = False
     dropout: float = 0.1
     cross_attn: bool = False
+    flash_attn: bool = False
     attn_heads: int = 4
     out_channels: Optional[int] = None
     dtype: Any = None
@@ -312,6 +328,7 @@ class UNet(nn.Module):
                          name=f"down_{i}")(h, t_emb, train=train)
             if self.cross_attn and context is not None:
                 h = CrossAttention(self.attn_heads, dtype=self.dtype,
+                                   use_flash=self.flash_attn,
                                    name=f"down_attn_{i}")(h, context)
             skips.append(h)
             h = _maxpool2x(h)
@@ -322,6 +339,7 @@ class UNet(nn.Module):
                      name="bottleneck")(h, t_emb, train=train)
         if self.cross_attn and context is not None:
             h = CrossAttention(self.attn_heads, dtype=self.dtype,
+                               use_flash=self.flash_attn,
                                name="bot_attn")(h, context)
 
         for i in reversed(range(n_levels)):
@@ -332,6 +350,7 @@ class UNet(nn.Module):
                          name=f"up_{i}")(h, t_emb, skip=skips[i], train=train)
             if self.cross_attn and context is not None:
                 h = CrossAttention(self.attn_heads, dtype=self.dtype,
+                                   use_flash=self.flash_attn,
                                    name=f"up_attn_{i}")(h, context)
 
         out_ch = self.out_channels or self.in_channels

@@ -56,11 +56,20 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float | None = None,
                     use_pallas: bool | None = None) -> Array:
     """softmax(q k^T * scale) v over (B, H, N, D) tensors.
 
-    Pads N_q/N_k/D to block multiples (key padding is masked via -inf
-    logits by zero-padding keys AND tracking the true length... here keys are
-    padded with -inf logits by padding K with zeros and masking: we pad K/V
-    with zeros and subtract nothing — so callers must pad-aware; for
-    simplicity this wrapper masks padded keys explicitly).
+    Blockwise flash attention with the online-softmax running (max, denom,
+    acc) state: K/V stream through VMEM ``block_k`` rows at a time, so memory
+    is O(block) instead of O(N_q x N_k). ``use_pallas=False`` (or a non-TPU
+    backend) falls back to the two-einsum reference implementation, which is
+    also the numerical oracle in tests/test_attention.py.
+
+    Shape handling: N_q, N_k and D are zero-padded up to block multiples.
+    Padded QUERY rows and feature columns are harmless (sliced off / zero
+    contributions); padded KEY rows would receive softmax weight, so they are
+    masked via a bias feature: one extra column where every real query holds
+    1 and every padded key row holds -inf/scale — their logit contribution
+    becomes ~-1e30 * scale and the padded keys vanish from the softmax.
+    Correctness of this trick at ``nk % block_k != 0`` (both nk < block_k and
+    multi-block nk) is pinned by tests/test_attention.py.
     """
     if use_pallas is None:
         use_pallas = use_pallas_default()

@@ -26,6 +26,12 @@ from composable_diffusion_models_tpu.models import UNet
 from composable_diffusion_models_tpu.schedules import VPSchedule
 
 BASELINE_IMGS_PER_SEC = 5000.0
+# measured bf16 matmul peak on this chip (DESIGN.md §4 calibration)
+CHIP_PEAK_TFLOPS = 197.0
+# analytic forward cost of the reference mnist UNet (base 64, 28x28):
+# counted conv/matmul MACs x2; DESIGN.md §2 roofline => 118.5 GFLOP per
+# image per 50-step 3-expert DDIM sample (0.79 GFLOP/forward x 150)
+MNIST_GFLOP_PER_IMAGE = 118.5
 
 
 def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
@@ -188,6 +194,9 @@ def main():
     steps_per_sec = 50.0 / best_t if best_t else 0.0
     train_ips = measure_train_throughput(args.base_dim)
     shapes_ips = measure_shapes_throughput()
+    # progress against the physics ceiling, not just the target number:
+    # implied TF/s = analytic FLOPs/image x img/s; MFU = that / chip peak
+    implied_tflops = best_ips * MNIST_GFLOP_PER_IMAGE / 1e3
     print(json.dumps({
         "metric": "mnist_images_per_sec_ddim50_3experts",
         "value": round(best_ips, 1),
@@ -197,6 +206,10 @@ def main():
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "train_images_per_sec": round(train_ips, 1),
                   "shapes64_images_per_sec": round(shapes_ips, 1),
+                  "implied_tflops": round(implied_tflops, 1),
+                  "mfu": round(implied_tflops / CHIP_PEAK_TFLOPS, 3),
+                  "roofline_images_per_sec": round(
+                      CHIP_PEAK_TFLOPS * 1e3 / MNIST_GFLOP_PER_IMAGE),
                   "device": str(jax.devices()[0])},
     }))
 

@@ -87,42 +87,70 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
                      tx: optax.GradientTransformation, *,
                      batch_size: int, uncond_prob: float = 0.0,
                      null_labels: Optional[Sequence[int]] = None,
-                     time_first: bool = False):
+                     time_first: bool = False,
+                     ema_decay: Optional[float] = None):
     """Jitted multi-step training chunk: ``length`` optimizer steps fused in
     one ``lax.scan``; batches gathered with ``jnp.take`` inside the program.
 
     The dataset is an ARGUMENT (not a closure constant) so the jit cache keys
     on its shape — callers (and the benchmark) can warm the exact program
     once and reuse it across datasets/calls without recompiling.
+
+    With ``ema_decay`` set, the chunk signature grows an ``ema_params``
+    arg/return (EMA tracked inside the scan — standard diffusion sample-
+    quality practice, beyond the reference's raw-final-params sampling).
     """
 
     loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
                            null_labels=null_labels, time_first=time_first)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1),
-                       static_argnames=("length",))
-    def run_chunk(params, opt_state, chunk_key, images, labels=(), *,
-                  length: int):
+    def step(params, opt_state, k, images, labels):
         n = images.shape[0]
+        kb, kl = jax.random.split(k)
+        idx = jax.random.randint(kb, (batch_size,), 0, n)
+        x0 = jnp.take(images, idx, axis=0)
+        batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
+        loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
+                                                  batch_labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
+    if ema_decay is None:
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnames=("length",))
+        def run_chunk(params, opt_state, chunk_key, images, labels=(), *,
+                      length: int):
+            def body(carry, i):
+                params, opt_state = carry
+                params, opt_state, loss = step(
+                    params, opt_state, jax.random.fold_in(chunk_key, i),
+                    images, labels)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(length))
+            return params, opt_state, losses
+
+        return run_chunk
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnames=("length",))
+    def run_chunk_ema(params, opt_state, ema_params, chunk_key, images,
+                      labels=(), *, length: int):
         def body(carry, i):
-            params, opt_state = carry
-            k = jax.random.fold_in(chunk_key, i)
-            kb, kl = jax.random.split(k)
-            idx = jax.random.randint(kb, (batch_size,), 0, n)
-            x0 = jnp.take(images, idx, axis=0)
-            batch_labels = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
-            loss, grads = jax.value_and_grad(loss_fn)(params, kl, x0,
-                                                      batch_labels)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            params, opt_state, ema = carry
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.fold_in(chunk_key, i),
+                images, labels)
+            ema = ema_update(ema, params, ema_decay)
+            return (params, opt_state, ema), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(length))
-        return params, opt_state, losses
+        (params, opt_state, ema_params), losses = jax.lax.scan(
+            body, (params, opt_state, ema_params), jnp.arange(length))
+        return params, opt_state, ema_params, losses
 
-    return run_chunk
+    return run_chunk_ema
 
 
 def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
@@ -132,8 +160,11 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                  uncond_prob: float = 0.0,
                  null_labels: Optional[Sequence[int]] = None,
                  time_first: bool = False,
-                 steps_per_scan: int = 100) -> Tuple[Params, Array]:
-    """Train one expert on a device-resident dataset. Returns (params, losses).
+                 steps_per_scan: int = 100,
+                 ema_decay: Optional[float] = None) -> Tuple[Params, Array]:
+    """Train one expert on a device-resident dataset. Returns (params, losses)
+    — with ``ema_decay`` set, params are the EMA tree (the sampling-quality
+    standard; the raw final tree is discarded).
 
     The loop runs as chunks of ``steps_per_scan`` steps fused into single
     ``lax.scan`` calls; batches are sampled with replacement inside the scan.
@@ -146,7 +177,8 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     run_chunk = make_train_chunk(
         apply_fn, schedule, tx, batch_size=batch_size,
         uncond_prob=uncond_prob, null_labels=null_labels,
-        time_first=time_first)
+        time_first=time_first, ema_decay=ema_decay)
+    ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     all_losses = []
     steps_per_scan = min(steps_per_scan, steps)
@@ -154,11 +186,16 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     if steps % steps_per_scan:
         chunk_lengths.append(steps % steps_per_scan)
     for c, length in enumerate(chunk_lengths):
-        params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, c), images, labels,
-            length=length)
+        if ema_decay:
+            params, opt_state, ema, losses = run_chunk(
+                params, opt_state, ema, jax.random.fold_in(key, c), images,
+                labels, length=length)
+        else:
+            params, opt_state, losses = run_chunk(
+                params, opt_state, jax.random.fold_in(key, c), images, labels,
+                length=length)
         all_losses.append(losses)
-    return params, jnp.concatenate(all_losses)
+    return (ema if ema_decay else params), jnp.concatenate(all_losses)
 
 
 def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],

@@ -56,6 +56,7 @@ class TrainConfig:
     batch_size: int = 128
     lr: float = 2e-4
     uncond_prob: float = 0.0
+    ema_decay: float = 0.0             # 0 = off; 0.999 typical (sample with EMA)
     seed: int = 42
     sanity: bool = False               # the reference's fast-path flag
 

@@ -137,7 +137,8 @@ def main():
                          lab0),
         schedule, held_imgs, (held_s,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
-        uncond_prob=args.uncond_prob, null_labels=(n_classes[0],))
+        uncond_prob=args.uncond_prob, null_labels=(n_classes[0],),
+        ema_decay=cfg.train.ema_decay or None)
     print(f"  final loss {float(sl_losses[-1]):.4f}")
     print("training factor-1 expert (RGB | color) ...")
     cp, cl_losses = train.train_expert(
@@ -146,7 +147,8 @@ def main():
                          lab0),
         schedule, held_imgs, (held_c,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
-        uncond_prob=args.uncond_prob, null_labels=(n_classes[1],))
+        uncond_prob=args.uncond_prob, null_labels=(n_classes[1],),
+        ema_decay=cfg.train.ema_decay or None)
     print(f"  final loss {float(cl_losses[-1]):.4f}")
 
     weights = jnp.array([args.w_shape, args.w_color])

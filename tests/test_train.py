@@ -138,3 +138,30 @@ def test_ema_update_converges_to_params(key):
         return train.ema_update(e, target, decay=0.9), None
     ema2, _ = jax.lax.scan(body, p, None, length=100)
     assert jnp.allclose(ema2["w"], ema["w"])
+
+
+def test_train_expert_ema(key):
+    """ema_decay returns the EMA tree: different from raw-final training but
+    close after enough steps; finite; same treedef."""
+    from composable_diffusion_models_tpu.models import ScoreMLP
+    from composable_diffusion_models_tpu.schedules import VPSchedule
+
+    m = ScoreMLP(hidden=16, depth=2, out_dim=2)
+    p0 = m.init(key, jnp.ones((1, 1)), jnp.zeros((1, 2)))
+    pts = jax.random.normal(key, (512, 2))
+    raw, _ = train.train_expert(key, lambda p, t, x: m.apply(p, t, x), p0,
+                                VPSchedule(), pts, steps=60, batch_size=64,
+                                time_first=True, steps_per_scan=30)
+    ema, losses = train.train_expert(key, lambda p, t, x: m.apply(p, t, x),
+                                     p0, VPSchedule(), pts, steps=60,
+                                     batch_size=64, time_first=True,
+                                     steps_per_scan=30, ema_decay=0.9)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    raw_l = jax.tree_util.tree_leaves(raw)
+    ema_l = jax.tree_util.tree_leaves(ema)
+    assert len(raw_l) == len(ema_l)
+    assert all(bool(jnp.all(jnp.isfinite(e))) for e in ema_l)
+    # EMA lags the raw params but tracks them (decay 0.9, 60 steps)
+    diffs = [float(jnp.abs(r - e).max()) for r, e in zip(raw_l, ema_l)]
+    assert max(diffs) > 0.0
+    assert max(diffs) < 1.0

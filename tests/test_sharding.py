@@ -317,3 +317,53 @@ def test_dp_train_step_with_cfg_dropout(key):
     with mesh:
         params, opt_state, loss = step(params, opt_state, key, batch, labels)
     assert bool(jnp.isfinite(loss))
+
+
+def test_tensor_parallel_unet_matches_unsharded(key):
+    """TP (model-axis) UNet sharding is a placement decision: jitted apply
+    over GSPMD-partitioned params matches the unsharded forward."""
+    from composable_diffusion_models_tpu.parallel import shard_unet_tp
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    model = UNet(in_channels=1, base_dim=16, channel_mults=(1, 2))
+    x = jax.random.normal(key, (4, 16, 16, 1))
+    t = jnp.ones((4,))
+    params = model.init(key, x, t)
+    ref = jax.jit(model.apply)(params, x, t)
+
+    with mesh:
+        tp_params = shard_unet_tp(params, mesh, "model")
+        xb = shard_batch(x, mesh, "data")
+        out = jax.jit(model.apply)(tp_params, xb, t)
+        jax.block_until_ready(out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # the wide conv kernels really are sharded (not silently replicated)
+    leaves = jax.tree_util.tree_leaves(tp_params)
+    assert any(
+        not l.sharding.is_fully_replicated for l in leaves if l.ndim == 4)
+
+
+def test_tensor_parallel_composed_sampler(key):
+    """TP params drive the composed DDIM scan end-to-end on the mesh."""
+    from composable_diffusion_models_tpu.parallel import shard_unet_tp
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    model = UNet(in_channels=1, base_dim=16, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    ps = [model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)))
+          for i in range(2)]
+    with mesh:
+        ps = [shard_unet_tp(p, mesh, "model") for p in ps]
+        w = jnp.ones((2,))
+
+        def eps_fn(x, t):
+            return compose.weighted(
+                jnp.stack([model.apply(p, x, t) for p in ps]), w)
+
+        x_init = shard_batch(jax.random.normal(key, (4, 16, 16, 1)), mesh,
+                             "data")
+        out = jax.jit(lambda x: samplers.ddim(eps_fn, VPSchedule(), x, 4))(
+            x_init)
+        jax.block_until_ready(out)
+    assert bool(jnp.all(jnp.isfinite(out)))

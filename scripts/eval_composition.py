@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--n_steps", type=int, default=200)
     ap.add_argument("--w_shape", type=float, default=1.0)
     ap.add_argument("--w_color", type=float, default=1.0)
+    ap.add_argument("--weight_grid", default=None,
+                    help="JSON list of [w_shape, w_color] pairs to sweep on "
+                         "the SAME trained experts (weights are traced args: "
+                         "one compile covers the whole sweep); overrides "
+                         "--w_shape/--w_color")
     ap.add_argument("--op", default="avg",
                     help="comma list of composition operators to evaluate on "
                          "the same trained experts: avg (weighted score "
@@ -151,14 +156,15 @@ def main():
         ema_decay=cfg.train.ema_decay or None)
     print(f"  final loss {float(cl_losses[-1]):.4f}")
 
-    weights = jnp.array([args.w_shape, args.w_color])
+    weight_grid = (json.loads(args.weight_grid) if args.weight_grid
+                   else [[args.w_shape, args.w_color]])
     bs = args.samples_per_combo
 
     null_s = jnp.full((bs,), n_classes[0], jnp.int32)
     null_c = jnp.full((bs,), n_classes[1], jnp.int32)
 
     @functools.partial(jax.jit, static_argnames=("op",))
-    def _sample(sl, cl, k, op):
+    def _sample(sl, cl, weights, k, op):
         # labels are traced args: ONE compile per operator covers every
         # combo. The cond+null fan-out folds into the batch axis (one 2B
         # forward per expert — the reference's "highly efficient" layout,
@@ -198,43 +204,48 @@ def main():
     from composable_diffusion_models_tpu.utils.viz import save_grid
     full_report = {"holdout": [list(h) for h in holdout],
                    "dataset": args.dataset,
-                   "weights": [args.w_shape, args.w_color], "ops": {}}
+                   "weight_grid": weight_grid, "ops": {}}
     for op in args.op.split(","):
-        report = {"combos": {}}
-        grids = []
-        print(f"--- operator: {op} ---")
-        for s_lab in range(n_classes[0]):
-            for c_lab in range(n_classes[1]):
-                samples = _sample(
-                    jnp.full((bs,), s_lab, jnp.int32),
-                    jnp.full((bs,), c_lab, jnp.int32),
-                    jax.random.fold_in(key,
-                                       10 + s_lab * n_classes[1] + c_lab),
-                    op)
-                grids.append(samples[:4])
-                scores = ceval.compositional_scores(
-                    probe, probe_params, samples, (s_lab, c_lab))
-                scores["held_out"] = (s_lab, c_lab) in holdout
-                report["combos"][f"{s_lab},{c_lab}"] = scores
-                tag = " (HELD OUT)" if scores["held_out"] else ""
-                print(f"shape={s_lab} color={c_lab}{tag}: "
-                      f"joint_acc={scores['joint_acc']:.3f} "
-                      f"shape_acc={scores['factor_0_acc']:.3f} "
-                      f"color_acc={scores['factor_1_acc']:.3f}")
+        for wpair in weight_grid:
+            weights = jnp.asarray(wpair, jnp.float32)
+            wtag = (f"{op}" if len(weight_grid) == 1
+                    else f"{op}_w{wpair[0]:g}x{wpair[1]:g}")
+            report = {"combos": {}, "weights": list(wpair)}
+            grids = []
+            print(f"--- operator: {wtag} ---")
+            for s_lab in range(n_classes[0]):
+                for c_lab in range(n_classes[1]):
+                    samples = _sample(
+                        jnp.full((bs,), s_lab, jnp.int32),
+                        jnp.full((bs,), c_lab, jnp.int32), weights,
+                        jax.random.fold_in(key,
+                                           10 + s_lab * n_classes[1] + c_lab),
+                        op)
+                    grids.append(samples[:4])
+                    scores = ceval.compositional_scores(
+                        probe, probe_params, samples, (s_lab, c_lab))
+                    scores["held_out"] = (s_lab, c_lab) in holdout
+                    report["combos"][f"{s_lab},{c_lab}"] = scores
+                    tag = " (HELD OUT)" if scores["held_out"] else ""
+                    print(f"shape={s_lab} color={c_lab}{tag}: "
+                          f"joint_acc={scores['joint_acc']:.3f} "
+                          f"shape_acc={scores['factor_0_acc']:.3f} "
+                          f"color_acc={scores['factor_1_acc']:.3f}")
 
-        held = [v["joint_acc"] for v in report["combos"].values()
-                if v["held_out"]]
-        seen = [v["joint_acc"] for v in report["combos"].values()
-                if not v["held_out"]]
-        report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
-        report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
-        grid_path = save_grid(
-            jnp.concatenate(grids, axis=0),
-            f"{mgr.results_dir}/eval_samples_grid_{op}.png", nrow=12)
-        print(f"[{op}] held-out joint acc {report['heldout_joint_acc']:.3f} "
-              f"| seen joint acc {report['seen_joint_acc']:.3f} "
-              f"| grid {grid_path}")
-        full_report["ops"][op] = report
+            held = [v["joint_acc"] for v in report["combos"].values()
+                    if v["held_out"]]
+            seen = [v["joint_acc"] for v in report["combos"].values()
+                    if not v["held_out"]]
+            report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
+            report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
+            grid_path = save_grid(
+                jnp.concatenate(grids, axis=0),
+                f"{mgr.results_dir}/eval_samples_grid_{wtag}.png", nrow=12)
+            print(f"[{wtag}] held-out joint acc "
+                  f"{report['heldout_joint_acc']:.3f} "
+                  f"| seen joint acc {report['seen_joint_acc']:.3f} "
+                  f"| grid {grid_path}")
+            full_report["ops"][wtag] = report
 
     path = f"{mgr.results_dir}/compositional_eval.json"
     with open(path, "w") as f:

@@ -367,3 +367,45 @@ def test_tensor_parallel_composed_sampler(key):
             x_init)
         jax.block_until_ready(out)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pipeline_parallel_matches_sequential(key):
+    """GPipe microbatch pipeline over a 'stage' axis == sequential stage
+    application, and jax.grad flows through the ppermute chain."""
+    from composable_diffusion_models_tpu.parallel.pp import (
+        make_pipeline_apply, shard_stage_params, stack_stage_params)
+    import flax.linen as nn
+
+    S, M, mb, d = 4, 6, 8, 16
+    mesh = make_mesh({"stage": S, "data": 2})
+    layer = nn.Dense(d)
+    ps = [layer.init(jax.random.fold_in(key, i), jnp.zeros((mb, d)))
+          for i in range(S)]
+
+    def stage_fn(p, x):
+        return jnp.tanh(layer.apply(p, x))
+
+    xs = jax.random.normal(key, (M, mb, d))
+    # sequential reference
+    ref = xs
+    for p in ps:
+        ref = jax.vmap(lambda x, p=p: stage_fn(p, x))(ref)
+
+    stacked = stack_stage_params(ps)
+    pipe = make_pipeline_apply(stage_fn, mesh, S)
+    with mesh:
+        stacked_sh = shard_stage_params(stacked, mesh)
+        out = pipe(stacked_sh, xs)
+        jax.block_until_ready(out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # pipeline-parallel backprop for free (ppermute is differentiable)
+    def loss(stacked, xs):
+        return jnp.sum(pipe(stacked, xs) ** 2)
+
+    with mesh:
+        g = jax.grad(loss)(stacked_sh, xs)
+        jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(g))

@@ -35,14 +35,14 @@ MNIST_GFLOP_PER_IMAGE = 118.5
 
 
 def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
-          use_pallas: bool = False):
+          use_pallas: bool = False, img_size: int = 28):
     key = jax.random.PRNGKey(0)
     # compute dtype bf16 end-to-end (flax modules cast params + activations;
     # without the model-level dtype the first GroupNorm silently upcasts the
     # whole net to fp32 and throughput drops ~2-4x)
     model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4),
                  dtype=dtype, use_pallas=use_pallas)
-    x0 = jnp.zeros((1, 28, 28, 1))
+    x0 = jnp.zeros((1, img_size, img_size, 1))
     params_list = [
         jax.tree_util.tree_map(
             lambda p: p.astype(dtype),
@@ -59,15 +59,17 @@ def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
 
     @jax.jit
     def sample(key):
-        x_init = jax.random.normal(key, (batch_size, 28, 28, 1), jnp.float32)
+        x_init = jax.random.normal(key, (batch_size, img_size, img_size, 1),
+                                   jnp.float32)
         return samplers.ddim(eps_fn, schedule, x_init, 50)
 
     return sample
 
 
 def run(batch_size: int, base_dim: int, iters: int = 5,
-        use_pallas: bool = False):
-    sample = build(batch_size, base_dim, use_pallas=use_pallas)
+        use_pallas: bool = False, img_size: int = 28):
+    sample = build(batch_size, base_dim, use_pallas=use_pallas,
+                   img_size=img_size)
     key = jax.random.PRNGKey(1)
 
     def sync(out):
@@ -175,6 +177,10 @@ def main():
     ap.add_argument("--base_dim", type=int, default=64,
                     help="reference mnist UNet width (unet_small.py:49)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--img_size", type=int, default=28,
+                    help="experimentation only: 32 measures the 8-aligned "
+                         "canvas variant (changes the workload; the headline "
+                         "number is defined at 28)")
     ap.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas GroupNorm+SiLU in the resblocks")
     args = ap.parse_args()
@@ -182,7 +188,8 @@ def main():
     best_ips, best_bs, best_t = 0.0, 0, 0.0
     for bs in [int(b) for b in args.batch_sizes.split(",")]:
         try:
-            ips, t = run(bs, args.base_dim, args.iters, args.use_pallas)
+            ips, t = run(bs, args.base_dim, args.iters, args.use_pallas,
+                         args.img_size)
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
             continue

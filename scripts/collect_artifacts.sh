@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Copy the judge-facing sample grids + eval reports from outputs/ (gitignored:
+# it also holds orbax checkpoints) into the tracked artifacts/ tree.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p artifacts
+for d in outputs/*/run_0/results; do
+  preset=$(echo "$d" | cut -d/ -f2)
+  mkdir -p "artifacts/$preset"
+  find "$d" -maxdepth 1 \( -name '*.png' -o -name '*.json' \) \
+    -exec cp {} "artifacts/$preset/" \;
+done
+echo "collected: $(find artifacts -type f | wc -l) files"

@@ -592,3 +592,66 @@ def make_cfg_eps_fn(apply_fn: Callable[..., Array],
         return compose.cfg(out[0], out[1:], weights)
 
     return eps_fn
+
+
+# ---------------------------------------------------------------------------
+# Parallel-in-time sampling (beyond-reference; Shih et al. 2023,
+# "Parallel Sampling of Diffusion Models", arXiv:2305.16317)
+# ---------------------------------------------------------------------------
+def parallel_prob_flow(score_fn: EpsFn, schedule: VPSchedule, x_init: Array,
+                       n_steps: int, n_iters: int = 12,
+                       t_max: float = 1.0,
+                       t_min: float = 1e-3) -> Tuple[Array, Array]:
+    """Probability-flow ODE solved by Picard fixed-point iteration IN TIME.
+
+    The sequential Euler solve x[j+1] = x[j] - dxdt(x[j], t_j) dt is the
+    fixed point of
+
+        X[j] = x_init - sum_{i<j} dxdt(X[i], t_i) dt .
+
+    Each Picard sweep evaluates the score at ALL n_steps trajectory points in
+    ONE batched forward (time folded into the batch axis) and integrates with
+    a prefix sum — a (B*n_steps)-sized MXU-saturating program whose
+    sequential depth is ``n_iters`` instead of ``n_steps``. This is the
+    TPU-natural latency/FLOPs trade for small batches (Shih et al. 2023):
+    convergence needs far fewer sweeps than steps, so wall-clock drops
+    whenever the chip has idle FLOPs at the sequential batch size. Same
+    ``score_fn`` convention as :func:`prob_flow_ode` (TRUE score; eps models
+    adapt via -eps/sigma).
+
+    Returns (x_final, residuals): residuals[k] = max |trajectory update| of
+    sweep k — monotone decrease certifies contraction; compare the tail
+    against the sweep budget to pick ``n_iters``.
+    """
+    table = schedule.ode_table(n_steps, t_max, t_min)  # (t, dloga, g2, ., dt)
+    ts, dloga, g2, dt = table[:, 0], table[:, 1], table[:, 2], table[:, 4]
+    b = x_init.shape[0]
+    feat_shape = x_init.shape[1:]
+    nf = len(feat_shape)
+
+    def col(v):  # (n,) -> (n, 1, 1...) broadcast against (n, B, ...)
+        return v.reshape((-1,) + (1,) * (1 + nf))
+
+    def sweep(traj):
+        # traj: (n_steps, B, ...) current guess at each grid point
+        flat_x = traj.reshape((n_steps * b,) + feat_shape)
+        flat_t = jnp.repeat(ts, b)
+        s = score_fn(flat_x, flat_t).reshape((n_steps, b) + feat_shape)
+        dxdt = col(dloga) * traj - 0.5 * col(g2) * s
+        steps = dxdt * col(dt)
+        # X[j] = x_init - (exclusive prefix sum of steps)
+        csum = jnp.cumsum(steps, axis=0)
+        new = jnp.concatenate([x_init[None], x_init[None] - csum[:-1]],
+                              axis=0)
+        return new, x_init - csum[-1]
+
+    def body(carry, _):
+        traj, _ = carry
+        new, x_fin = sweep(traj)
+        resid = jnp.max(jnp.abs(new - traj))
+        return (new, x_fin), resid
+
+    traj0 = jnp.broadcast_to(x_init, (n_steps,) + x_init.shape)
+    (_, x_final), residuals = jax.lax.scan(
+        body, (traj0, x_init), None, length=n_iters)
+    return x_final, residuals

@@ -276,3 +276,44 @@ def test_superdiff_and_solve_k3(key):
                                        mode="AND", k_experts=3)
     assert out.shape == x0.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestParallelPicard:
+    """Parallel-in-time Picard prob-flow (samplers.parallel_prob_flow,
+    beyond-reference, arXiv:2305.16317): converges to the sequential Euler
+    solve with far fewer sequential sweeps than steps."""
+
+    def test_matches_sequential_on_exact_gaussian(self, key):
+        sch = VPSchedule()
+
+        def score_fn(x, t):
+            # exact score of the diffused N(0, I): s = -x (alpha^2+sigma^2=1)
+            return -x
+
+        x_init = jax.random.normal(key, (64, 2))
+        ref = samplers.prob_flow_ode(score_fn, sch, x_init, 100)
+        out, resid = samplers.parallel_prob_flow(score_fn, sch, x_init, 100,
+                                                 n_iters=25)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+        # contraction: residuals decrease and the tail is tiny
+        r = np.asarray(resid)
+        assert r[-1] < 1e-3 * max(r[0], 1e-9)
+
+    def test_sequential_depth_much_smaller_than_steps(self, key):
+        """25 sweeps reproduce a 100-step solve: 4x fewer sequential model
+        evaluations (the whole point of parallel-in-time sampling)."""
+        from composable_diffusion_models_tpu.models import ScoreMLP
+        sch = VPSchedule()
+        m = ScoreMLP(hidden=32, depth=2, out_dim=2)
+        p = m.init(key, jnp.ones((1, 1)), jnp.zeros((1, 2)))
+
+        def score_fn(x, t):
+            return -m.apply(p, t, x) / sch.sigma(t).reshape(-1, 1)
+
+        x_init = jax.random.normal(key, (32, 2))
+        ref = samplers.prob_flow_ode(score_fn, sch, x_init, 100)
+        out, resid = samplers.parallel_prob_flow(score_fn, sch, x_init, 100,
+                                                 n_iters=25)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2)

@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--preset", default="mnist_image")
     ap.add_argument("--name", default="expert")
     ap.add_argument("--sampler", default=None,
-                    choices=[None, "em", "ddim", "ode", "dpmpp"])
+                    choices=[None, "em", "ddim", "ode", "dpmpp", "picard"])
     ap.add_argument("--eta", type=float, default=0.0,
                     help="stochastic-DDIM noise level (0 = deterministic)")
     ap.add_argument("--out", default="outputs")
@@ -51,6 +51,15 @@ def main():
         score_fn = lambda x, t: -eps_fn(x, t) / schedule.sigma(t)
         out = samplers.prob_flow_ode(score_fn, schedule, x_init,
                                      cfg.sample.n_steps)
+    elif cfg.sample.sampler == "picard":
+        # parallel-in-time Picard solve (samplers.parallel_prob_flow):
+        # latency path for small batches — n_iters sweeps instead of
+        # n_steps sequential forwards
+        score_fn = lambda x, t: -eps_fn(x, t) / schedule.sigma(t).reshape(
+            (-1,) + (1,) * (x.ndim - 1))
+        out, resid = samplers.parallel_prob_flow(
+            score_fn, schedule, x_init, cfg.sample.n_steps, n_iters=15)
+        print(f"picard residual tail: {float(resid[-1]):.2e}")
     elif cfg.sample.sampler == "dpmpp":
         out = samplers.dpm_solver_pp_2m(eps_fn, schedule, x_init,
                                         cfg.sample.n_steps)

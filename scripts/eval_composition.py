@@ -64,6 +64,13 @@ def main():
                          "eps_u + sum_i w_i (eps_i - eps_u) with eps_u = "
                          "mean of the experts' null-token outputs, "
                          "reference op-5, _5.py:313-325)")
+    ap.add_argument("--factor0_grayscale", action="store_true",
+                    help="train the factor-0 (shape/digit) expert on the "
+                         "GRAYSCALE projection of the data — the reference's "
+                         "own held-out-generalization recipe (a color-blind "
+                         "shape expert cannot oppose unseen colors; "
+                         "shapes/compose_images_{ddim,ito}.py). Composition "
+                         "lifts its eps back to RGB by channel broadcast.")
     ap.add_argument("--uncond_prob", type=float, default=0.1,
                     help="CFG label-dropout rate for expert training; 0 "
                          "trains plain conditional experts (the measured "
@@ -128,19 +135,24 @@ def main():
     # (reference op-1, …shape_and_color.py:352)
     # both experts get a null token + CFG dropout so avg and cfg composition
     # are compared on identical trained weights (null row unused by avg)
-    shape_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
+    from composable_diffusion_models_tpu.experts import (gray_to_rgb,
+                                                         rgb_to_gray)
+    f0_ch = 1 if args.factor0_grayscale else 3
+    f0_imgs = rgb_to_gray(held_imgs) if args.factor0_grayscale else held_imgs
+    shape_model = UNet(in_channels=f0_ch, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
                        num_classes=(n_classes[0],), null_token=True)
     color_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
                        num_classes=(n_classes[1],), null_token=True)
     lab0 = jnp.zeros((1,), jnp.int32)
-    print("training factor-0 expert (RGB | shape/digit) ...")
+    print(f"training factor-0 expert ({'gray' if f0_ch == 1 else 'RGB'} "
+          "| shape/digit) ...")
     sp, sl_losses = train.train_expert(
         jax.random.fold_in(key, 2), shape_model.apply,
-        shape_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
-                         lab0),
-        schedule, held_imgs, (held_s,), steps=cfg.train.steps,
+        shape_model.init(key, jnp.zeros((1, size, size, f0_ch)),
+                         jnp.ones((1,)), lab0),
+        schedule, f0_imgs, (held_s,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
         uncond_prob=args.uncond_prob, null_labels=(n_classes[0],),
         ema_decay=cfg.train.ema_decay or None)
@@ -169,11 +181,21 @@ def main():
         # combo. The cond+null fan-out folds into the batch axis (one 2B
         # forward per expert — the reference's "highly efficient" layout,
         # cross_attention.py:282-292).
+        def apply_f0(params, x, t, labels):
+            # grayscale protocol: project the RGB state, lift eps back by
+            # channel broadcast (reference compose_images_ddim.py:31,52);
+            # jvp-divergence in ito flows through the adapters unchanged
+            # (the reference's broadcast-divergence fix, ito_2.py:46-69)
+            if f0_ch == 1:
+                return gray_to_rgb(
+                    shape_model.apply(params, rgb_to_gray(x), t, labels))
+            return shape_model.apply(params, x, t, labels)
+
         if op == "ito":
             # equal-density-path AND (reference op-2): kappa from jvp
             # divergences, probability-flow ODE
             def shape_score(x, t):
-                return -shape_model.apply(sp, x, t, sl)
+                return -apply_f0(sp, x, t, sl)
 
             def color_score(x, t):
                 return -color_model.apply(cp, x, t, cl)
@@ -186,15 +208,14 @@ def main():
         def eps_fn(x, t):
             if op == "cfg":
                 x2 = jnp.concatenate([x, x])
-                e_s2 = shape_model.apply(
-                    sp, x2, t, jnp.concatenate([sl, null_s]))
+                e_s2 = apply_f0(sp, x2, t, jnp.concatenate([sl, null_s]))
                 e_c2 = color_model.apply(
                     cp, x2, t, jnp.concatenate([cl, null_c]))
                 e_s, e_su = e_s2[:bs], e_s2[bs:]
                 e_c, e_cu = e_c2[:bs], e_c2[bs:]
                 eps_u = 0.5 * (e_su + e_cu)  # shared baseline (_5.py:320)
                 return compose.cfg(eps_u, jnp.stack([e_s, e_c]), weights)
-            e_shape = shape_model.apply(sp, x, t, sl)
+            e_shape = apply_f0(sp, x, t, sl)
             e_color = color_model.apply(cp, x, t, cl)
             return compose.weighted(jnp.stack([e_shape, e_color]), weights)
 

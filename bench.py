@@ -35,13 +35,13 @@ MNIST_GFLOP_PER_IMAGE = 118.5
 
 
 def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
-          use_pallas: bool = False, img_size: int = 28):
+          use_pallas: bool = False, img_size: int = 28, pad_to: int = 0):
     key = jax.random.PRNGKey(0)
     # compute dtype bf16 end-to-end (flax modules cast params + activations;
     # without the model-level dtype the first GroupNorm silently upcasts the
     # whole net to fp32 and throughput drops ~2-4x)
     model = UNet(in_channels=1, base_dim=base_dim, channel_mults=(1, 2, 4),
-                 dtype=dtype, use_pallas=use_pallas)
+                 dtype=dtype, use_pallas=use_pallas, pad_to=pad_to or None)
     x0 = jnp.zeros((1, img_size, img_size, 1))
     params_list = [
         jax.tree_util.tree_map(
@@ -67,9 +67,9 @@ def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
 
 
 def run(batch_size: int, base_dim: int, iters: int = 5,
-        use_pallas: bool = False, img_size: int = 28):
+        use_pallas: bool = False, img_size: int = 28, pad_to: int = 0):
     sample = build(batch_size, base_dim, use_pallas=use_pallas,
-                   img_size=img_size)
+                   img_size=img_size, pad_to=pad_to)
     key = jax.random.PRNGKey(1)
 
     def sync(out):
@@ -183,13 +183,17 @@ def main():
                          "number is defined at 28)")
     ap.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas GroupNorm+SiLU in the resblocks")
+    ap.add_argument("--pad_to", type=int, default=0,
+                    help="compute on a zero-padded square canvas of this "
+                         "size (e.g. 32): same 28x28 images in/out, all "
+                         "spatial dims 8-aligned for the conv emitter")
     args = ap.parse_args()
 
     best_ips, best_bs, best_t = 0.0, 0, 0.0
     for bs in [int(b) for b in args.batch_sizes.split(",")]:
         try:
             ips, t = run(bs, args.base_dim, args.iters, args.use_pallas,
-                         args.img_size)
+                         args.img_size, args.pad_to)
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
             continue

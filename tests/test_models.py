@@ -21,6 +21,29 @@ def test_unet_shape(key, size, ch):
     assert m.apply(p, x, t).shape == (2, size, size, ch)
 
 
+def test_unet_pad_to_canvas(key):
+    """pad_to computes on an 8-aligned canvas but keeps the 28x28 interface
+    and the exact param tree of the unpadded model (checkpoints load across
+    both settings)."""
+    m28 = UNet(in_channels=1, **TINY)
+    m32 = UNet(in_channels=1, pad_to=32, **TINY)
+    x = jax.random.normal(key, (2, 28, 28, 1))
+    t = jnp.ones((2,))
+    p28 = m28.init(key, x, t)
+    p32 = m32.init(key, x, t)
+    assert (jax.tree_util.tree_structure(p28)
+            == jax.tree_util.tree_structure(p32))
+    for a, b in zip(jax.tree_util.tree_leaves(p28),
+                    jax.tree_util.tree_leaves(p32)):
+        assert a.shape == b.shape
+    out = m32.apply(p28, x, t)
+    assert out.shape == (2, 28, 28, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # already-square-at-canvas input passes through unpadded
+    x32 = jax.random.normal(key, (2, 32, 32, 1))
+    assert m32.apply(p32, x32, t).shape == (2, 32, 32, 1)
+
+
 def test_unet_deep_variant(key):
     # src SimpleUnet depth (SURVEY M4): 4 levels + bottleneck
     m = UNet(in_channels=3, base_dim=4, channel_mults=(1, 2, 4, 8, 16))

@@ -28,6 +28,9 @@ class ModelConfig:
     depth: int = 4
     latent_dim: int = 2
     dtype: str = "float32"             # compute dtype: float32 | bfloat16
+    pad_to: int = 0                    # 0 = off; e.g. 32: compute on an
+                                       # 8-aligned zero-padded canvas (TPU
+                                       # conv-emitter tiling; models/unet.py)
 
 
 @dataclasses.dataclass

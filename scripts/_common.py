@@ -38,7 +38,7 @@ def build_model(cfg: Config):
                     time_emb_dim=m.time_emb_dim,
                     num_classes=tuple(m.num_classes),
                     null_token=m.null_token, cross_attn=m.cross_attn,
-                    dtype=dtype)
+                    dtype=dtype, pad_to=m.pad_to or None)
     if m.kind == "mlp":
         return ScoreMLP(hidden=m.hidden, depth=m.depth, out_dim=m.latent_dim)
     if m.kind == "latent_mlp":

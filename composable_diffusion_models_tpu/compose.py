@@ -196,3 +196,38 @@ def masked(eps_stack: Array, masks: Array) -> Array:
 def fixed(eps_stack: Array, kappa: Array) -> Array:
     """Fixed-kappa blend: eps = sum_i kappa_i eps_i (no normalization)."""
     return jnp.sum(_kexp(kappa, eps_stack) * eps_stack, axis=0)
+
+
+# 8. ---------------------------------------------------------------------
+LUMA_W = (0.299, 0.587, 0.114)  # ITU-R 601 (torchvision Grayscale)
+
+
+def projected(eps_full: Array, eps_sub: Array, weight: Array = 1.0,
+              proj: Array = LUMA_W) -> Array:
+    """Orthogonal projection-substitution composition (beyond-reference op).
+
+    A subspace expert (e.g. a grayscale shape expert) only ever observes
+    P x with P = w/||w|| a unit-norm channel projection, so its prediction
+    estimates the PROJECTED noise P eps — not the full noise. The
+    reference's channel-broadcast average
+    (shapes/compose_images_ddim.py:52-57) therefore blends a subspace
+    estimate into every channel and the result is no longer a consistent
+    full-noise estimate (the sampler under-denoises; measured: pure-noise
+    grids at any training budget). Substituting along P's row space fixes
+    this exactly:
+
+        eps = eps_full + weight * P^T (eps_sub - P eps_full)
+
+    weight=1 replaces the luma component of the full-space expert's eps
+    with the subspace expert's estimate (both are estimates of the SAME
+    quantity P eps, so the combined vector stays a consistent noise
+    estimate); weight>1 over-steers as guidance. The chrominance
+    (orthogonal complement) stays entirely with the full-space expert.
+    Pair with a subspace expert trained on data projected by the SAME
+    unit-norm P (data.make_shapes_dataset(grayscale="luma_norm"),
+    experts.rgb_to_gray(x, normalized=True)).
+    """
+    w = jnp.asarray(proj, eps_full.dtype)
+    w = w / jnp.sqrt(jnp.sum(w * w))
+    p_full = jnp.sum(eps_full * w, axis=-1, keepdims=True)   # P eps_full
+    return eps_full + weight * (eps_sub - p_full) * w

@@ -92,7 +92,7 @@ def rasterize_shape(shape_idx: Array, img_size: int = 64) -> Array:
 
 
 def make_shapes_dataset(size: int = 5000, img_size: int = 64,
-                        grayscale: bool = False,
+                        grayscale=False,
                         holdout: Optional[Sequence[Tuple[int, int]]] = None,
                         background: str = "black"):
     """Device-resident shapes dataset.
@@ -101,6 +101,24 @@ def make_shapes_dataset(size: int = 5000, img_size: int = 64,
     cycle deterministically (idx % 9), matching ShapesDataset.__getitem__
     (shapes/dataset.py:49); ``holdout`` drops listed (shape, color) pairs
     (the src-family generalization experiments).
+
+    ``grayscale`` selects the 1-channel protocol:
+      False         — RGB (3-channel) images.
+      True | "white"— white-on-black masks, parity with the reference's
+                      ShapesGrayscaleDataset (shapes/dataset_grayscale.py:44).
+                      NOTE: the luma of a *colored* shape is a dim gray, so a
+                      white-trained expert is off-manifold when composed
+                      against an RGB diffusion state via a grayscale adapter
+                      (the reference pipeline inherits this mismatch).
+      "luma"        — ITU-601 luma of the RGB images: the training
+                      distribution equals luma(RGB data), so a composed
+                      sampler's rgb_to_gray(x_t) view is on-manifold in
+                      signal (noise std is 0.67, see experts.rgb_to_gray).
+      "luma_norm"   — unit-norm luma projection sum(x*w)/||w|| (range
+                      +-1.496): under this projection the gray view of an
+                      RGB diffusion state is an EXACT diffusion state
+                      (unit noise), removing both mismatches — pair with
+                      experts.rgb_to_gray(x, normalized=True) at sampling.
     """
     combos = [(s, c) for s in range(3) for c in range(3)]
     if holdout:
@@ -124,13 +142,19 @@ def _build_shapes(size: int, img_size: int, grayscale: bool,
 
     masks = jax.vmap(lambda s: rasterize_shape(s, img_size))(shape_labels)
     bg = 1.0 if background == "white" else 0.0
-    if grayscale:
+    if grayscale in (True, "white"):
         imgs = masks[..., None] * 1.0 + (1.0 - masks[..., None]) * bg
-    else:
-        colors = jnp.asarray(_SHAPE_COLOR_RGB)[color_labels]   # (N, 3)
-        fg = masks[..., None] * colors[:, None, None, :]
-        imgs = fg + (1.0 - masks[..., None]) * bg
-    return imgs * 2.0 - 1.0, shape_labels, color_labels
+        return imgs * 2.0 - 1.0, shape_labels, color_labels
+    colors = jnp.asarray(_SHAPE_COLOR_RGB)[color_labels]   # (N, 3)
+    fg = masks[..., None] * colors[:, None, None, :]
+    imgs = (fg + (1.0 - masks[..., None]) * bg) * 2.0 - 1.0
+    if grayscale in ("luma", "luma_norm"):
+        w = jnp.asarray([0.299, 0.587, 0.114], imgs.dtype)
+        g = jnp.sum(imgs * w, axis=-1, keepdims=True)
+        if grayscale == "luma_norm":
+            g = g / jnp.sqrt(jnp.sum(w * w))
+        return g, shape_labels, color_labels
+    return imgs, shape_labels, color_labels
 
 
 BBOX_COLORS = ("red", "green", "blue")  # PIL named colors, same LUT

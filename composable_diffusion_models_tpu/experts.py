@@ -169,11 +169,25 @@ def grouped_eps_fn(groups: Sequence[Callable[[Array, Array], Array]],
     return eps_stack_fn
 
 
-def rgb_to_gray(x: Array) -> Array:
+def rgb_to_gray(x: Array, normalized: bool = False) -> Array:
     """ITU-R 601 luma, NHWC (parity with torchvision Grayscale used at
-    shapes/compose_images_ddim.py:31)."""
+    shapes/compose_images_ddim.py:31).
+
+    ``normalized=False`` (reference convention): plain luma. Applied to a unit
+    RGB diffusion state x_t = a*x0 + s*eps, the projected noise has std
+    ||w|| = 0.669, so a gray expert sees an understated noise level — the
+    reference pipeline inherits this (its composed DDIM under-denoises).
+
+    ``normalized=True``: divide by ||w||, making the projection row
+    unit-norm. Then P(x_t) = a*P(x0) + s*eps1 with eps1 ~ N(0,1) EXACTLY —
+    the gray view of the RGB diffusion is itself a diffusion state for the
+    projected data. Pair with a gray expert trained on
+    data.make_shapes_dataset(grayscale="luma_norm") images (= P(x0))."""
     w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
-    return jnp.sum(x * w, axis=-1, keepdims=True)
+    g = jnp.sum(x * w, axis=-1, keepdims=True)
+    if normalized:
+        g = g / jnp.sqrt(jnp.sum(w * w))
+    return g
 
 
 def gray_to_rgb(eps: Array) -> Array:

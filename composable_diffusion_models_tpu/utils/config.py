@@ -40,6 +40,9 @@ class DataConfig:
     img_size: int = 28
     classes: Optional[Tuple[int, ...]] = None
     grayscale: bool = False
+    gray_mode: str = "white"           # white | luma | luma_norm (the
+                                       # 1-channel protocol when grayscale;
+                                       # see data.make_shapes_dataset)
     color_rule: str = "per_digit"
     holdout: Tuple[Tuple[int, int], ...] = ()
     background: str = "black"

@@ -58,7 +58,8 @@ def build_dataset(cfg: Config, key):
         "colored_mnist": dict(classes=d.classes, color_rule=d.color_rule,
                               data_dir=d.data_dir,
                               holdout=list(d.holdout) or None),
-        "shapes": dict(img_size=d.img_size, grayscale=d.grayscale,
+        "shapes": dict(img_size=d.img_size,
+                       grayscale=d.gray_mode if d.grayscale else False,
                        holdout=list(d.holdout) or None,
                        background=d.background),
         "shapes_bbox": dict(img_size=d.img_size,

@@ -28,6 +28,21 @@ def main():
     ap.add_argument("--w_shape", type=float, default=1.0)
     ap.add_argument("--w_color", type=float, default=1.0)
     ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--gray_protocol", default="white",
+                    choices=["white", "luma", "luma_norm"],
+                    help="how the 1-channel shape expert was trained "
+                         "(data.gray_mode): 'white' = reference parity "
+                         "(white-on-black; its luma view of the RGB state "
+                         "is off-manifold and composes poorly); 'luma' = "
+                         "trained on luma(RGB data); 'luma_norm' = trained "
+                         "on the unit-norm projection (exact gray diffusion "
+                         "state; see experts.rgb_to_gray)")
+    ap.add_argument("--op", default="avg", choices=["avg", "proj"],
+                    help="avg = reference channel-broadcast weighted blend "
+                         "(compose_images_ddim.py:52-57 parity); proj = "
+                         "projection substitution (compose.projected; needs "
+                         "--gray_protocol luma_norm) — the consistent-noise "
+                         "composition that actually denoises")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -56,15 +71,23 @@ def main():
 
     weights = jnp.array([args.w_shape, args.w_color])
 
+    normalized = args.gray_protocol == "luma_norm"
+    if args.op == "proj" and not normalized:
+        ap.error("--op proj needs --gray_protocol luma_norm (the gray "
+                 "expert must estimate exactly P eps)")
+
     @jax.jit
     def sample_combo(sl, cl, k):
         # labels traced: ONE compile covers all 9 combos (a per-combo
         # closure would retrace the whole sampler 9 times)
         def eps_fn(x, t):
-            e_shape = experts.gray_to_rgb(
-                shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
+            e_gray = shape_model.apply(
+                sp, experts.rgb_to_gray(x, normalized=normalized), t, sl)
             e_color = color_model.apply(cp, x, t, cl)
-            return compose.weighted(jnp.stack([e_shape, e_color]), weights)
+            if args.op == "proj":
+                return compose.projected(e_color, e_gray, args.w_shape)
+            return compose.weighted(
+                jnp.stack([experts.gray_to_rgb(e_gray), e_color]), weights)
 
         x_init = jax.random.normal(k, (args.bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)

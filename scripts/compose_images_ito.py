@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--probe", default="gaussian",
                     choices=["gaussian", "rademacher"])
+    ap.add_argument("--gray_protocol", default="white",
+                    choices=["white", "luma", "luma_norm"],
+                    help="the 1-channel shape expert's training protocol "
+                         "(data.gray_mode; see compose_images_ddim.py)")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -62,7 +66,10 @@ def main():
         # RGB-lifted shape score w.r.t. the RGB input (the _2.py fix)
         def shape_score(x, t):
             return -experts.gray_to_rgb(
-                shape_model.apply(sp, experts.rgb_to_gray(x), t, sl))
+                shape_model.apply(
+                    sp, experts.rgb_to_gray(
+                        x, normalized=args.gray_protocol == "luma_norm"),
+                    t, sl))
 
         def color_score(x, t):
             return -color_model.apply(cp, x, t, cl)

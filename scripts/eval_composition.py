@@ -71,6 +71,13 @@ def main():
                          "shape expert cannot oppose unseen colors; "
                          "shapes/compose_images_{ddim,ito}.py). Composition "
                          "lifts its eps back to RGB by channel broadcast.")
+    ap.add_argument("--gray_norm", action="store_true",
+                    help="with --factor0_grayscale: use the unit-norm luma "
+                         "projection sum(x*w)/||w|| for both training data "
+                         "and the sampling-time adapter — the gray view of "
+                         "the RGB diffusion state is then an EXACT diffusion "
+                         "state (plain luma understates the noise level by "
+                         "0.67x; see experts.rgb_to_gray)")
     ap.add_argument("--uncond_prob", type=float, default=0.1,
                     help="CFG label-dropout rate for expert training; 0 "
                          "trains plain conditional experts (the measured "
@@ -90,13 +97,18 @@ def main():
         args.probe_steps = 200
         args.samples_per_combo = 8
         args.n_steps = min(args.n_steps, 20)
-    known_ops = ("avg", "ito", "cfg")
+    known_ops = ("avg", "ito", "cfg", "proj")
     bad = [o for o in args.op.split(",") if o not in known_ops]
     if bad:
         ap.error(f"unknown --op {bad}; choose from {known_ops} "
                  "(fail fast — expert training costs minutes)")
     if args.uncond_prob == 0.0 and "cfg" in args.op.split(","):
         ap.error("--op cfg needs --uncond_prob > 0 (null-token training)")
+    if "proj" in args.op.split(",") and not (args.factor0_grayscale
+                                             and args.gray_norm):
+        ap.error("--op proj (projection substitution, compose.projected) "
+                 "needs --factor0_grayscale --gray_norm so the factor-0 "
+                 "expert estimates exactly P eps")
     holdout = [tuple(h) for h in json.loads(args.holdout)]
     key = jax.random.PRNGKey(args.seed)
     size = cfg.data.img_size
@@ -138,7 +150,8 @@ def main():
     from composable_diffusion_models_tpu.experts import (gray_to_rgb,
                                                          rgb_to_gray)
     f0_ch = 1 if args.factor0_grayscale else 3
-    f0_imgs = rgb_to_gray(held_imgs) if args.factor0_grayscale else held_imgs
+    f0_imgs = (rgb_to_gray(held_imgs, normalized=args.gray_norm)
+               if args.factor0_grayscale else held_imgs)
     shape_model = UNet(in_channels=f0_ch, base_dim=cfg.model.base_dim,
                        channel_mults=tuple(cfg.model.channel_mults),
                        num_classes=(n_classes[0],), null_token=True)
@@ -188,7 +201,9 @@ def main():
             # (the reference's broadcast-divergence fix, ito_2.py:46-69)
             if f0_ch == 1:
                 return gray_to_rgb(
-                    shape_model.apply(params, rgb_to_gray(x), t, labels))
+                    shape_model.apply(
+                        params, rgb_to_gray(x, normalized=args.gray_norm),
+                        t, labels))
             return shape_model.apply(params, x, t, labels)
 
         if op == "ito":
@@ -206,6 +221,15 @@ def main():
                 jax.random.fold_in(k, 1), x_init, args.n_steps)
 
         def eps_fn(x, t):
+            if op == "proj":
+                # projection substitution (compose.projected): the gray
+                # expert replaces exactly the luma noise component; the
+                # chrominance stays with the color expert. weights[0] is
+                # the substitution/steer strength.
+                e_c = color_model.apply(cp, x, t, cl)
+                e_s = shape_model.apply(
+                    sp, rgb_to_gray(x, normalized=True), t, sl)
+                return compose.projected(e_c, e_s, weights[0])
             if op == "cfg":
                 x2 = jnp.concatenate([x, x])
                 e_s2 = apply_f0(sp, x2, t, jnp.concatenate([sl, null_s]))

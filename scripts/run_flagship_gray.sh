@@ -15,11 +15,17 @@ python scripts/eval_composition.py --train.steps=$STEPS \
     --weight_grid "[[1,1],[1,1.5],[1,2]]" --probe_steps 2000 \
     --out outputs/gray_protocol
 
+echo "=== gray-protocol + CFG holdout eval: shapes (both levers) ==="
+python scripts/eval_composition.py --train.steps=$STEPS \
+    --samples_per_combo 64 --n_steps 100 --op cfg --uncond_prob 0.1 \
+    --factor0_grayscale --weight_grid "[[2,2],[3,3],[5,5]]" \
+    --probe_steps 2000 --out outputs/gray_cfg
+
 echo "=== gray-protocol holdout eval: colored-MNIST ==="
 python scripts/eval_composition.py --dataset colored_mnist \
     --train.steps=$STEPS --samples_per_combo 64 --n_steps 100 \
     --op avg,cfg --uncond_prob 0.1 --factor0_grayscale \
-    --weight_grid "[[1,1],[2,2]]" --holdout "[[7,2]]" --probe_steps 2000 \
+    --weight_grid "[[1,1],[2,2],[3,3]]" --holdout "[[7,2]]" --probe_steps 2000 \
     --out outputs/gray_protocol
 
 echo "gray-protocol runs complete"

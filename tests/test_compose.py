@@ -152,3 +152,42 @@ class TestAndSolveK:
         assert bool(jnp.all(kappa >= 0)) and bool(jnp.all(kappa <= 1))
         np.testing.assert_allclose(np.asarray(kappa.sum(axis=1)), 1.0,
                                    atol=1e-5)
+
+
+class TestProjected:
+    """compose.projected — orthogonal substitution along the luma row."""
+
+    def test_weight1_replaces_luma_exactly(self, key):
+        e_full = jax.random.normal(key, (2, 8, 8, 3))
+        e_sub = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 1))
+        out = compose.projected(e_full, e_sub, 1.0)
+        w = jnp.asarray(compose.LUMA_W)
+        w = w / jnp.sqrt(jnp.sum(w * w))
+        # P out == eps_sub (the subspace expert owns the luma component)
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(out * w, axis=-1, keepdims=True)),
+            np.asarray(e_sub), atol=1e-5)
+        # (I - P^T P) out == (I - P^T P) e_full (chrominance untouched)
+        def chroma(x):
+            p = jnp.sum(x * w, axis=-1, keepdims=True)
+            return x - p * w
+        np.testing.assert_allclose(np.asarray(chroma(out)),
+                                   np.asarray(chroma(e_full)), atol=1e-5)
+
+    def test_weight0_is_identity(self, key):
+        e_full = jax.random.normal(key, (2, 4, 4, 3))
+        e_sub = jnp.zeros((2, 4, 4, 1))
+        np.testing.assert_allclose(
+            np.asarray(compose.projected(e_full, e_sub, 0.0)),
+            np.asarray(e_full), atol=1e-7)
+
+    def test_consistent_estimate_norm(self, key):
+        # substituting one orthogonal component keeps a unit-noise estimate
+        # a unit-noise estimate: E||out||^2 == E||eps||^2 for exact inputs
+        eps = jax.random.normal(key, (4, 8, 8, 3))
+        w = jnp.asarray(compose.LUMA_W)
+        w = w / jnp.sqrt(jnp.sum(w * w))
+        p_eps = jnp.sum(eps * w, axis=-1, keepdims=True)
+        out = compose.projected(eps, p_eps, 1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(eps),
+                                   atol=1e-5)

@@ -51,6 +51,23 @@ class TestShapesRasterizer:
         # white background -> corners are +1
         assert float(imgs[0, 0, 0, 0]) == 1.0
 
+    def test_gray_luma_modes(self):
+        """luma = ITU projection of the RGB set; luma_norm = luma / ||w||
+        (the exact-diffusion-state protocol, experts.rgb_to_gray)."""
+        rgb, sl, cl = data.make_shapes_dataset(9, 32)
+        luma, sl2, _ = data.make_shapes_dataset(9, 32, grayscale="luma")
+        norm, _, _ = data.make_shapes_dataset(9, 32, grayscale="luma_norm")
+        assert luma.shape == (9, 32, 32, 1)
+        np.testing.assert_array_equal(np.asarray(sl), np.asarray(sl2))
+        w = np.array([0.299, 0.587, 0.114])
+        expect = (np.asarray(rgb) * w).sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(luma), expect, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(norm),
+                                   expect / np.sqrt((w * w).sum()), atol=1e-5)
+        # a colored shape's luma is a DIM gray, far from the white-on-black
+        # protocol's +1 foreground (in [-1,1]: pure red -> 2*0.299-1 = -0.402)
+        assert -1.0 < float(np.asarray(luma).max()) < 0.2
+
 
 class TestMNIST:
     def test_synthetic_class_filter(self, key):

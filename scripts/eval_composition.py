@@ -97,15 +97,15 @@ def main():
         args.probe_steps = 200
         args.samples_per_combo = 8
         args.n_steps = min(args.n_steps, 20)
-    known_ops = ("avg", "ito", "cfg", "proj")
+    known_ops = ("avg", "ito", "cfg", "proj", "proj_cfg")
     bad = [o for o in args.op.split(",") if o not in known_ops]
     if bad:
         ap.error(f"unknown --op {bad}; choose from {known_ops} "
                  "(fail fast — expert training costs minutes)")
     if args.uncond_prob == 0.0 and "cfg" in args.op.split(","):
         ap.error("--op cfg needs --uncond_prob > 0 (null-token training)")
-    if "proj" in args.op.split(",") and not (args.factor0_grayscale
-                                             and args.gray_norm):
+    if ({"proj", "proj_cfg"} & set(args.op.split(","))
+            and not (args.factor0_grayscale and args.gray_norm)):
         ap.error("--op proj (projection substitution, compose.projected) "
                  "needs --factor0_grayscale --gray_norm so the factor-0 "
                  "expert estimates exactly P eps")
@@ -230,6 +230,20 @@ def main():
                 e_s = shape_model.apply(
                     sp, rgb_to_gray(x, normalized=True), t, sl)
                 return compose.projected(e_c, e_s, weights[0])
+            if op == "proj_cfg":
+                # CFG inside each expert (guidance strengths = weights),
+                # THEN projection substitution at weight 1 — stacks the
+                # conditioning lever on the consistent-noise composition
+                xg = rgb_to_gray(x, normalized=True)
+                xg2 = jnp.concatenate([xg, xg])
+                e_s2 = shape_model.apply(
+                    sp, xg2, t, jnp.concatenate([sl, null_s]))
+                x2 = jnp.concatenate([x, x])
+                e_c2 = color_model.apply(
+                    cp, x2, t, jnp.concatenate([cl, null_c]))
+                e_s = e_s2[bs:] + weights[0] * (e_s2[:bs] - e_s2[bs:])
+                e_c = e_c2[bs:] + weights[1] * (e_c2[:bs] - e_c2[bs:])
+                return compose.projected(e_c, e_s, 1.0)
             if op == "cfg":
                 x2 = jnp.concatenate([x, x])
                 e_s2 = apply_f0(sp, x2, t, jnp.concatenate([sl, null_s]))

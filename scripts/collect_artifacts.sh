@@ -4,7 +4,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
-for d in outputs/*/run_0/results; do
+for d in outputs/*/run_0/results outputs/*/eval_composition/run_0/results; do
+  [ -d "$d" ] || continue
   preset=$(echo "$d" | cut -d/ -f2)
   mkdir -p "artifacts/$preset"
   find "$d" -maxdepth 1 \( -name '*.png' -o -name '*.json' \) \

@@ -149,7 +149,8 @@ def _build_shapes(size: int, img_size: int, grayscale: bool,
     fg = masks[..., None] * colors[:, None, None, :]
     imgs = (fg + (1.0 - masks[..., None]) * bg) * 2.0 - 1.0
     if grayscale in ("luma", "luma_norm"):
-        w = jnp.asarray([0.299, 0.587, 0.114], imgs.dtype)
+        from composable_diffusion_models_tpu.compose import LUMA_W
+        w = jnp.asarray(LUMA_W, imgs.dtype)
         g = jnp.sum(imgs * w, axis=-1, keepdims=True)
         if grayscale == "luma_norm":
             g = g / jnp.sqrt(jnp.sum(w * w))

@@ -183,14 +183,28 @@ def rgb_to_gray(x: Array, normalized: bool = False) -> Array:
     the gray view of the RGB diffusion is itself a diffusion state for the
     projected data. Pair with a gray expert trained on
     data.make_shapes_dataset(grayscale="luma_norm") images (= P(x0))."""
-    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    from composable_diffusion_models_tpu.compose import LUMA_W
+    w = jnp.asarray(LUMA_W, x.dtype)
     g = jnp.sum(x * w, axis=-1, keepdims=True)
     if normalized:
         g = g / jnp.sqrt(jnp.sum(w * w))
     return g
 
 
-def gray_to_rgb(eps: Array) -> Array:
-    """Broadcast a 1-channel prediction to 3 channels (the reference's
-    .repeat(1, 3, 1, 1), compose_images_ddim.py:52)."""
-    return jnp.repeat(eps, 3, axis=-1)
+def gray_to_rgb(eps: Array, normalized: bool = False) -> Array:
+    """Lift a 1-channel prediction to 3 channels.
+
+    ``normalized=False`` (reference convention): equal broadcast, the
+    reference's ``.repeat(1, 3, 1, 1)`` (compose_images_ddim.py:52).
+
+    ``normalized=True``: the adjoint of the unit-norm luma projection,
+    ``g * u`` with ``u = w/||w||`` — the correct lift for an expert trained
+    on ``rgb_to_gray(x, normalized=True)`` data (its output estimates
+    ``P eps``; the adjoint puts that estimate back along P's row space with
+    no spurious chroma and unit gain, where equal broadcast would scale the
+    luma component by ``sum(w)/||w||`` = 1.49x and leak into chroma)."""
+    if not normalized:
+        return jnp.repeat(eps, 3, axis=-1)
+    from composable_diffusion_models_tpu.compose import LUMA_W
+    w = jnp.asarray(LUMA_W, eps.dtype)
+    return eps * (w / jnp.sqrt(jnp.sum(w * w)))

@@ -96,9 +96,11 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
     on its shape — callers (and the benchmark) can warm the exact program
     once and reuse it across datasets/calls without recompiling.
 
-    With ``ema_decay`` set, the chunk signature grows an ``ema_params``
-    arg/return (EMA tracked inside the scan — standard diffusion sample-
-    quality practice, beyond the reference's raw-final-params sampling).
+    With ``ema_decay`` set (truthy — ``None`` and ``0.0`` both mean off, the
+    same convention as ``train_expert``), the chunk signature grows an
+    ``ema_params`` arg/return (EMA tracked inside the scan — standard
+    diffusion sample-quality practice, beyond the reference's
+    raw-final-params sampling).
     """
 
     loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
@@ -116,7 +118,7 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    if ema_decay is None:
+    if not ema_decay:  # None OR 0.0: EMA off (matches train_expert's gate)
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            static_argnames=("length",))
         def run_chunk(params, opt_state, chunk_key, images, labels=(), *,

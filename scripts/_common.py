@@ -62,6 +62,9 @@ def build_dataset(cfg: Config, key):
                        grayscale=d.gray_mode if d.grayscale else False,
                        holdout=list(d.holdout) or None,
                        background=d.background),
+        "shapes_grayscale": dict(img_size=d.img_size,
+                                 holdout=list(d.holdout) or None,
+                                 background=d.background),
         "shapes_bbox": dict(img_size=d.img_size,
                             holdout=list(d.holdout) or None),
         "toy2d": dict(up=True),

@@ -102,8 +102,9 @@ def main():
     if bad:
         ap.error(f"unknown --op {bad}; choose from {known_ops} "
                  "(fail fast — expert training costs minutes)")
-    if args.uncond_prob == 0.0 and "cfg" in args.op.split(","):
-        ap.error("--op cfg needs --uncond_prob > 0 (null-token training)")
+    if args.uncond_prob == 0.0 and {"cfg", "proj_cfg"} & set(args.op.split(",")):
+        ap.error("--op cfg/proj_cfg needs --uncond_prob > 0 (null-token "
+                 "training; otherwise the null embedding row is random init)")
     if ({"proj", "proj_cfg"} & set(args.op.split(","))
             and not (args.factor0_grayscale and args.gray_norm)):
         ap.error("--op proj (projection substitution, compose.projected) "
@@ -195,15 +196,19 @@ def main():
         # forward per expert — the reference's "highly efficient" layout,
         # cross_attention.py:282-292).
         def apply_f0(params, x, t, labels):
-            # grayscale protocol: project the RGB state, lift eps back by
-            # channel broadcast (reference compose_images_ddim.py:31,52);
-            # jvp-divergence in ito flows through the adapters unchanged
-            # (the reference's broadcast-divergence fix, ito_2.py:46-69)
+            # grayscale protocol: project the RGB state, lift eps back.
+            # Under --gray_norm the lift is the PROJECTION ADJOINT (g * u,
+            # u = w/||w||) — the expert estimates P eps, and equal broadcast
+            # would scale its luma component 1.49x and leak into chroma;
+            # plain-luma experts keep the reference's channel broadcast
+            # (compose_images_ddim.py:31,52). jvp-divergence in ito flows
+            # through the adapters unchanged (ito_2.py:46-69).
             if f0_ch == 1:
                 return gray_to_rgb(
                     shape_model.apply(
                         params, rgb_to_gray(x, normalized=args.gray_norm),
-                        t, labels))
+                        t, labels),
+                    normalized=args.gray_norm)
             return shape_model.apply(params, x, t, labels)
 
         if op == "ito":
@@ -264,8 +269,27 @@ def main():
     full_report = {"holdout": [list(h) for h in holdout],
                    "dataset": args.dataset,
                    "weight_grid": weight_grid, "ops": {}}
+    def canonical(op, wpair):
+        # settings that provably produce identical samples: ito ignores the
+        # weights entirely; compose.weighted normalizes by sum(w), so
+        # uniformly-scaled avg pairs are the same operator. Collapse them
+        # instead of re-running minutes of identical sampling per tag.
+        if op == "ito":
+            return (op,)
+        if op == "avg":
+            s = sum(wpair)
+            return (op,) + tuple(round(w / s, 6) for w in wpair)
+        return (op,) + tuple(wpair)
+
+    seen_settings = set()
     for op in args.op.split(","):
         for wpair in weight_grid:
+            key_c = canonical(op, wpair)
+            if key_c in seen_settings:
+                print(f"skip {op} w={wpair}: identical to an evaluated "
+                      "setting (ito ignores weights; avg is scale-invariant)")
+                continue
+            seen_settings.add(key_c)
             weights = jnp.asarray(wpair, jnp.float32)
             wtag = (f"{op}" if len(weight_grid) == 1
                     else f"{op}_w{wpair[0]:g}x{wpair[1]:g}")
@@ -299,14 +323,20 @@ def main():
             report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
             grid_path = save_grid(
                 jnp.concatenate(grids, axis=0),
-                f"{mgr.results_dir}/eval_samples_grid_{wtag}.png", nrow=12)
+                f"{mgr.results_dir}/eval_samples_grid_"
+                f"{args.dataset}_{args.op.replace(',', '-')}_{wtag}.png",
+                nrow=12)
             print(f"[{wtag}] held-out joint acc "
                   f"{report['heldout_joint_acc']:.3f} "
                   f"| seen joint acc {report['seen_joint_acc']:.3f} "
                   f"| grid {grid_path}")
             full_report["ops"][wtag] = report
 
-    path = f"{mgr.results_dir}/compositional_eval.json"
+    # dataset+op-tagged so successive invocations sharing an --out dir (the
+    # orchestration scripts run shapes then colored-MNIST, or avg,ito then
+    # avg,cfg) never overwrite each other's reports
+    optag = args.op.replace(",", "-")
+    path = f"{mgr.results_dir}/compositional_eval_{args.dataset}_{optag}.json"
     with open(path, "w") as f:
         json.dump(full_report, f, indent=2)
     print(f"report saved to {path}")

@@ -6,8 +6,11 @@ a markdown table (op, ms, TF/s, % of full eps step) to paste into DESIGN.md.
 
 Measurement discipline (CLAUDE.md): every number comes from N repetitions
 fused inside ONE jitted lax.scan (the tunneled runtime costs ~25 ms fixed
-per dispatch), forced with a full-tensor dependency, and the implied TF/s is
-checked against the chip's physical peak before being believed.
+per dispatch), forced with a full-tensor dependency; rows whose implied TF/s
+exceeds the chip's bf16 peak are flagged IMPLAUSIBLE in the table. Caveat:
+rows are timed back-to-back per op (not A/B-interleaved across ops), so
+same-program warm-call inflation is possible — trust the table's structure
+over small absolute diffs, and re-run before believing any <15% delta.
 
   python scripts/profile_unet.py --bs 384 --reps 100
 """
@@ -177,6 +180,11 @@ def main():
     print("|---|---|---|---|")
     for name, sec, fl in rows:
         tf = f"{fl / sec / 1e12:.1f}" if fl else "-"
+        # physical-plausibility guard (CLAUDE.md measurement discipline):
+        # an implied TF/s above the chip's bf16 peak means the measurement
+        # was corrupted (DCE'd body, or the timed call rode a warm artifact)
+        if fl and fl / sec / 1e12 > 197.0:
+            tf += " IMPLAUSIBLE(>peak)"
         pct = f"{100 * sec / step_sec:.0f}%" if sec <= step_sec * 1.5 else "-"
         print(f"| {name} | {sec * 1e3:.2f} | {tf} | {pct} |")
     ips = bs / sec_sample

@@ -191,6 +191,41 @@ def test_rgb_gray_roundtrip_shapes(key):
     assert experts.gray_to_rgb(g).shape == (2, 8, 8, 3)
 
 
+def test_gray_lift_adjoint(key):
+    """gray_to_rgb(normalized=True) is the exact adjoint of the unit-norm
+    luma projection: <lift(g), x> == <g, P x> and P(lift(g)) == g (unit
+    gain) — the invariants the projection-substitution protocol needs."""
+    import numpy as np
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    g = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 1))
+    px = experts.rgb_to_gray(x, normalized=True)
+    lg = experts.gray_to_rgb(g, normalized=True)
+    np.testing.assert_allclose(float((lg * x).sum()), float((g * px).sum()),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(experts.rgb_to_gray(
+        lg, normalized=True)), np.asarray(g), rtol=1e-4, atol=1e-5)
+    # equal broadcast is NOT unit-gain under the normalized projection
+    # (luma component scaled by sum(w)/||w|| = 1.49) — the bug the adjoint
+    # lift fixes for --gray_norm avg/ito/cfg composition
+    b = experts.rgb_to_gray(experts.gray_to_rgb(g), normalized=True)
+    assert abs(float(jnp.mean(b / g)) - 1.494) < 0.01
+
+
+def test_luma_weights_single_source():
+    """The ITU-601 luma weights live in exactly one place (compose.LUMA_W);
+    data's luma_norm images must equal rgb_to_gray(normalized=True) of the
+    RGB images so 'the subspace expert estimates exactly P eps' holds."""
+    import numpy as np
+    from composable_diffusion_models_tpu import compose, data
+    rgb, s, c = data.make_shapes_dataset(6, 16)
+    luma_n, s2, c2 = data.make_shapes_dataset(6, 16, grayscale="luma_norm")
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+    np.testing.assert_allclose(
+        np.asarray(experts.rgb_to_gray(rgb, normalized=True)),
+        np.asarray(luma_n), atol=1e-5)
+    assert len(compose.LUMA_W) == 3
+
+
 def test_vae_roundtrip(key):
     vae = BetaVAE(img_size=28, latent_dim=6)
     x = jnp.clip(jax.random.uniform(key, (2, 28, 28, 1)), 0, 1)

@@ -189,6 +189,26 @@ def main():
                          "spatial dims 8-aligned for the conv emitter")
     args = ap.parse_args()
 
+    # Fail fast (and legibly) when the tunneled TPU is unreachable: a hung
+    # tunnel blocks the first device op forever, which would record as an
+    # opaque timeout. The probe runs in a killable subprocess
+    # (__graft_entry__._safe_device_count) with bounded retries for
+    # transient tunnel degradation.
+    from __graft_entry__ import _safe_device_count
+    for attempt in range(3):
+        n_dev = _safe_device_count(timeout_s=60.0)
+        if n_dev:
+            break
+        print(f"# device probe {attempt + 1}/3 failed (backend init hung or "
+              "raised); retrying in 20 s", file=sys.stderr)
+        time.sleep(20)
+    else:
+        print("FATAL: no usable accelerator backend after 3 probes — the "
+              "TPU tunnel is down (environmental). Re-run when it recovers; "
+              "last known-good numbers are in BENCH_r01.json / README.",
+              file=sys.stderr)
+        sys.exit(3)
+
     best_ips, best_bs, best_t = 0.0, 0, 0.0
     for bs in [int(b) for b in args.batch_sizes.split(",")]:
         try:

@@ -495,7 +495,8 @@ def get_dataset(name: str, key: Array, n: int = 8192, **kw):
     if name == "shapes":
         return make_shapes_dataset(size=n, **kw)
     if name == "shapes_grayscale":
-        return make_shapes_dataset(size=n, grayscale=True, **kw)
+        kw.setdefault("grayscale", True)  # callers may pick luma/luma_norm
+        return make_shapes_dataset(size=n, **kw)
     if name == "shapes_bbox":
         return make_shapes_bbox_dataset(size=n, **kw)
     if name == "cifar10":

@@ -209,7 +209,9 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                            null_labels: Optional[Sequence[int]] = None,
                            time_first: bool = False,
                            steps_per_scan: int = 100,
-                           keep: int = 3) -> Tuple[Params, Array]:
+                           keep: int = 3,
+                           ema_decay: Optional[float] = None
+                           ) -> Tuple[Params, Array]:
     """``train_expert`` with preemption recovery (SURVEY.md §5.3 — a NEW
     capability over the reference's save-only checkpoints).
 
@@ -219,6 +221,12 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     restored and training continues from there. Chunk keys derive from
     ``fold_in(key, chunk_index)``, so a killed-and-resumed run produces
     BITWISE the same params as an uninterrupted one (tests/test_train.py).
+
+    With ``ema_decay`` set, the EMA tree rides the step checkpoints
+    (``ema_params`` key) so resume stays bitwise, and the EMA params are
+    returned — same contract as ``train_expert``. Step checkpoints written
+    without EMA cannot be resumed with it (structure mismatch — re-run or
+    drop the flag).
     """
     tx = optax.adam(lr)
     # private copies: the chunks donate their inputs, and donation must never
@@ -228,13 +236,18 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     run_chunk = make_train_chunk(
         apply_fn, schedule, tx, batch_size=batch_size,
         uncond_prob=uncond_prob, null_labels=null_labels,
-        time_first=time_first)
+        time_first=time_first, ema_decay=ema_decay)
+    ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     state_like = {"params": params, "opt_state": opt_state,
                   "step": jnp.zeros((), jnp.int32)}
+    if ema_decay:
+        state_like["ema_params"] = ema
     restored, start_step = ckpt_mgr.restore_latest(name, state_like)
     if restored is not None:
         params, opt_state = restored["params"], restored["opt_state"]
+        if ema_decay:
+            ema = restored["ema_params"]
 
     # full chunks + a shorter remainder chunk (never drop steps)
     steps_per_scan = min(steps_per_scan, steps)
@@ -245,18 +258,25 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     for c, length in enumerate(chunk_lengths):
         if c < start_step // steps_per_scan:
             continue  # already covered by the restored checkpoint
-        params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, c), images, labels,
-            length=length)
+        if ema_decay:
+            params, opt_state, ema, losses = run_chunk(
+                params, opt_state, ema, jax.random.fold_in(key, c), images,
+                labels, length=length)
+        else:
+            params, opt_state, losses = run_chunk(
+                params, opt_state, jax.random.fold_in(key, c), images, labels,
+                length=length)
         all_losses.append(losses)
         done = min((c + 1) * steps_per_scan, steps)
-        ckpt_mgr.save_step(name, {"params": params, "opt_state": opt_state,
-                                  "step": jnp.asarray(done, jnp.int32)},
-                           done, keep=keep)
+        state = {"params": params, "opt_state": opt_state,
+                 "step": jnp.asarray(done, jnp.int32)}
+        if ema_decay:
+            state["ema_params"] = ema
+        ckpt_mgr.save_step(name, state, done, keep=keep)
     ckpt_mgr.flush()  # async saves must be durable before we report done
     losses = (jnp.concatenate(all_losses) if all_losses
               else jnp.zeros((0,), jnp.float32))
-    return params, losses
+    return (ema if ema_decay else params), losses
 
 
 def ema_update(ema_params: Params, params: Params,

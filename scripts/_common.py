@@ -63,6 +63,11 @@ def build_dataset(cfg: Config, key):
                        holdout=list(d.holdout) or None,
                        background=d.background),
         "shapes_grayscale": dict(img_size=d.img_size,
+                                 # honor data.gray_mode (white|luma|luma_norm)
+                                 # exactly like the "shapes" entry above —
+                                 # a luma_norm config must NOT silently train
+                                 # on white-on-black masks
+                                 grayscale=d.gray_mode,
                                  holdout=list(d.holdout) or None,
                                  background=d.background),
         "shapes_bbox": dict(img_size=d.img_size,

@@ -86,8 +86,14 @@ def main():
             e_color = color_model.apply(cp, x, t, cl)
             if args.op == "proj":
                 return compose.projected(e_color, e_gray, args.w_shape)
+            # lift matched to the projection: a luma_norm expert estimates
+            # P eps, so its lift is the projection ADJOINT (equal broadcast
+            # would scale the luma component 1.49x and leak into chroma);
+            # plain-gray experts keep the reference's channel broadcast
+            # (compose_images_ddim.py:52)
             return compose.weighted(
-                jnp.stack([experts.gray_to_rgb(e_gray), e_color]), weights)
+                jnp.stack([experts.gray_to_rgb(e_gray, normalized=normalized),
+                           e_color]), weights)
 
         x_init = jax.random.normal(k, (args.bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)

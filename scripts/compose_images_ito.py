@@ -65,11 +65,17 @@ def main():
         # sigma-scaled scores s = -eps_hat: the divergence is taken of the
         # RGB-lifted shape score w.r.t. the RGB input (the _2.py fix)
         def shape_score(x, t):
+            # lift matched to the projection (adjoint for luma_norm, the
+            # reference's channel broadcast for plain gray) — the jvp
+            # divergence flows through whichever adapter pair is in force,
+            # so projection and lift must agree or the divergence is of a
+            # mis-scaled field
+            normalized = args.gray_protocol == "luma_norm"
             return -experts.gray_to_rgb(
                 shape_model.apply(
-                    sp, experts.rgb_to_gray(
-                        x, normalized=args.gray_protocol == "luma_norm"),
-                    t, sl))
+                    sp, experts.rgb_to_gray(x, normalized=normalized),
+                    t, sl),
+                normalized=normalized)
 
         def color_score(x, t):
             return -color_model.apply(cp, x, t, cl)

@@ -69,7 +69,7 @@ def main():
         uncond_prob=cfg.train.uncond_prob,
         null_labels=tuple(cfg.model.num_classes) if cfg.train.uncond_prob else None,
         steps_per_scan=min(100, cfg.train.steps))
-    if not args.resumable and cfg.train.ema_decay > 0:
+    if cfg.train.ema_decay > 0:
         train_kw["ema_decay"] = cfg.train.ema_decay
     if args.resumable:
         params, losses = train.train_expert_resumable(

@@ -91,6 +91,47 @@ def test_resume_bitwise_identical(key, tmp_path):
         assert jnp.array_equal(a, b), "resume diverged from straight run"
 
 
+def test_resume_bitwise_identical_with_ema(key, tmp_path):
+    """EMA rides the step checkpoints: a killed-and-resumed EMA run returns
+    bitwise the same EMA tree as an uninterrupted one, and matches the
+    non-resumable train_expert EMA contract (the flagship recipe's
+    --resumable + ema_decay combination must not silently drop EMA)."""
+    from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+
+    sch = VPSchedule()
+    m = ScoreMLP(hidden=16)
+    x = data.toy2d(key, 128)
+    p0 = m.init(key, jnp.ones((1,)), jnp.zeros((1, 2)))
+
+    def mgr(sub):
+        return CheckpointManager(str(tmp_path / sub), "exp")
+
+    ema_full, _ = train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr("a"), "mlp", steps=40, batch_size=32,
+        steps_per_scan=10, time_first=True, ema_decay=0.9)
+
+    m_b = mgr("b")
+    train.train_expert_resumable(
+        key, m.apply, p0, sch, x, m_b, "mlp", steps=20, batch_size=32,
+        steps_per_scan=10, time_first=True, ema_decay=0.9)
+    ema_resumed, _ = train.train_expert_resumable(
+        key, m.apply, p0, sch, x, m_b, "mlp", steps=40, batch_size=32,
+        steps_per_scan=10, time_first=True, ema_decay=0.9)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ema_full),
+                    jax.tree_util.tree_leaves(ema_resumed)):
+        assert jnp.array_equal(a, b), "EMA resume diverged from straight run"
+
+    # EMA is a trailing average, so it must differ from the raw params
+    ema_np, _ = train.train_expert(
+        key, m.apply, p0, sch, x, steps=40, batch_size=32,
+        steps_per_scan=10, time_first=True)
+    assert any(
+        not jnp.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(ema_full),
+                        jax.tree_util.tree_leaves(ema_np)))
+
+
 def test_save_step_keeps_latest_k(key, tmp_path):
     from composable_diffusion_models_tpu.checkpoint import CheckpointManager
     mgr = CheckpointManager(str(tmp_path), "exp")

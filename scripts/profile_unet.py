@@ -128,6 +128,25 @@ def main():
     sec = timed_scan(lambda xx: gn.apply(gp, xx), (rand(h1),), args.reps)
     rows.append(("GN+SiLU 64 @28", sec, None))
 
+    # ---- ceiling probes: what does the emitter sustain at the sampler's
+    # dominant shape, bare vs with the pre-norm pass interleaved? Round 1
+    # measured bare chained conv 64->64 @28 at ~158 TF/s — ABOVE the naive
+    # "half-lane at C_out=64" ceiling of 98.5, so the end-to-end limiter is
+    # the GN bandwidth passes between convs, not MXU lane occupancy. These
+    # two rows pin both rates in one run so the gap is measured, not argued.
+    cbare = nn.Conv(bd, (3, 3), padding="SAME", dtype=dt)
+    cbp = cbare.init(key, rand((img, img, bd)))
+    sec = timed_scan(
+        lambda xx: cbare.apply(cbp, cbare.apply(cbp, xx)),
+        (rand((img, img, bd)),), args.reps)
+    rows.append(("conv2x bare 64->64 @28", sec,
+                 2 * conv_flops(bs, img, img, bd, bd)))
+    sec = timed_scan(
+        lambda xx: cbare.apply(cbp, gn.apply(gp, cbare.apply(cbp, xx))),
+        (rand((img, img, bd)),), args.reps)
+    rows.append(("conv2x + GN between @28", sec,
+                 2 * conv_flops(bs, img, img, bd, bd)))
+
     # resblocks (standalone, matching down path)
     t_emb = jax.random.normal(key, (1, 256), dt)
     for (name, hh, cin, cout) in [

@@ -78,6 +78,11 @@ def or_softmax(log_q: Array, temp: float = 1.0, bias: float = 0.0) -> Array:
     """SUPERDIFF OR: kappa = softmax(temp * log_q + bias) over expert axis 0.
 
     ``log_q``: (K, B) running log-densities. Returns (K, B) kappas.
+
+    ``bias`` only tilts the blend when it is PER-EXPERT (shape (K,) or
+    (K, 1)): softmax is shift-invariant, so a scalar bias is a mathematical
+    no-op — faithfully mirroring the reference's own scalar ``bias``
+    parameter (src/diffusion/samplers.py:27), which is equally inert.
     """
     return jax.nn.softmax(temp * log_q + bias, axis=0)
 

@@ -149,11 +149,11 @@ def _build_shapes(size: int, img_size: int, grayscale: bool,
     fg = masks[..., None] * colors[:, None, None, :]
     imgs = (fg + (1.0 - masks[..., None]) * bg) * 2.0 - 1.0
     if grayscale in ("luma", "luma_norm"):
-        from composable_diffusion_models_tpu.compose import LUMA_W
-        w = jnp.asarray(LUMA_W, imgs.dtype)
-        g = jnp.sum(imgs * w, axis=-1, keepdims=True)
-        if grayscale == "luma_norm":
-            g = g / jnp.sqrt(jnp.sum(w * w))
+        # the ONE luma projection (experts.rgb_to_gray) — training data and
+        # sampling-time adapter must be the same operator for the luma_norm
+        # protocol's "subspace expert estimates exactly P eps" to hold
+        from composable_diffusion_models_tpu.experts import rgb_to_gray
+        g = rgb_to_gray(imgs, normalized=(grayscale == "luma_norm"))
         return g, shape_labels, color_labels
     return imgs, shape_labels, color_labels
 
@@ -525,6 +525,11 @@ def epoch_batches(key: Array, n: int, batch_size: int) -> Array:
 def infinite_batches(key: Array, n: int, batch_size: int) -> Iterator[Array]:
     """Infinite shuffled batch-index generator (the reference's sample_data
     infinite loader, mnist/dataset.py:33-37)."""
+    if batch_size > n:
+        # epoch_batches would yield zero batches and the loop below would
+        # spin forever without producing anything
+        raise ValueError(f"batch_size {batch_size} > dataset size {n}; "
+                         "shrink the batch or grow the dataset")
     epoch = 0
     while True:
         for idx in epoch_batches(jax.random.fold_in(key, epoch), n, batch_size):

@@ -158,6 +158,12 @@ def grouped_eps_fn(groups: Sequence[Callable[[Array, Array], Array]],
     """
     adapters = list(adapters) or [lambda x: x] * len(groups)
     lifts = list(lifts) or [lambda e: e] * len(groups)
+    if len(adapters) != len(groups) or len(lifts) != len(groups):
+        # zip truncation would silently DROP expert groups from the blend
+        raise ValueError(
+            f"adapters ({len(adapters)}) and lifts ({len(lifts)}) must match "
+            f"groups ({len(groups)}) — pass identity fns for pass-through "
+            "groups")
 
     def eps_stack_fn(x: Array, t: Array) -> Array:
         outs = []

@@ -17,6 +17,11 @@ import flax.linen as nn
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
     """(B,) times -> (B, dim) sin/cos features, identical layout to the
     reference: freqs = exp(-log(10000) * arange(half)/ (half-1)), [sin | cos]."""
+    if dim % 2 or dim < 4:
+        # odd dims would silently return 2*(dim//2) features; dim<=2 makes
+        # the (half - 1) divisor 0 and the whole embedding NaN
+        raise ValueError(f"sinusoidal_embedding dim must be even and >= 4, "
+                         f"got {dim}")
     half = dim // 2
     freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
                     / (half - 1))

@@ -10,7 +10,7 @@ collectives are data-parallel psums inside each expert group — they ride ICI.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

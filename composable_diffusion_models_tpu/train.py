@@ -255,9 +255,15 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     if steps % steps_per_scan:
         chunk_lengths.append(steps % steps_per_scan)
     all_losses = []
+    chunk_end = 0
     for c, length in enumerate(chunk_lengths):
-        if c < start_step // steps_per_scan:
-            continue  # already covered by the restored checkpoint
+        chunk_end += length
+        # skip chunks whose END the restored checkpoint already covers —
+        # comparing chunk INDEX against start_step // steps_per_scan
+        # re-ran the remainder chunk (steps % steps_per_scan != 0) after a
+        # restore from its own checkpoint, over-training by the remainder
+        if chunk_end <= start_step:
+            continue
         if ema_decay:
             params, opt_state, ema, losses = run_chunk(
                 params, opt_state, ema, jax.random.fold_in(key, c), images,

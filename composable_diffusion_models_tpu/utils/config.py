@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -206,7 +207,18 @@ def _coerce(old: Any, val: str) -> Any:
     if isinstance(old, float):
         return float(val)
     if isinstance(old, tuple) or val.startswith(("(", "[")):
-        parsed = json.loads(val.replace("(", "[").replace(")", "]"))
+        s = val.replace("(", "[").replace(")", "]")
+        try:
+            parsed = json.loads(s)
+        except json.JSONDecodeError:
+            # Python tuple spellings carry trailing commas ("((2,2),)");
+            # strip them before giving up, and name the offending value
+            try:
+                parsed = json.loads(re.sub(r",\s*([\]\}])", r"\1", s))
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"could not parse override value {val!r} as a "
+                    f"list/tuple: {e}") from None
         return tuple(tuple(p) if isinstance(p, list) else p for p in parsed)
     if old is None and val.lower() in ("none", "null"):
         return None

@@ -5,6 +5,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from composable_diffusion_models_tpu import data
 
@@ -132,6 +133,12 @@ class TestBatching:
         gen = data.infinite_batches(key, 20, 8)
         seen = [next(gen) for _ in range(5)]  # crosses an epoch boundary
         assert all(b.shape == (8,) for b in seen)
+
+    def test_infinite_batches_rejects_oversized_batch(self, key):
+        # batch_size > n yields zero batches per epoch — the generator must
+        # raise instead of spinning forever without yielding
+        with pytest.raises(ValueError, match="batch_size"):
+            next(data.infinite_batches(key, 10, 128))
 
 
 def test_cifar10_returns_none_when_absent():

@@ -191,6 +191,24 @@ def test_rgb_gray_roundtrip_shapes(key):
     assert experts.gray_to_rgb(g).shape == (2, 8, 8, 3)
 
 
+def test_grouped_eps_fn_rejects_mismatched_adapters():
+    # zip truncation would silently drop expert groups from the blend
+    with pytest.raises(ValueError, match="adapters"):
+        experts.grouped_eps_fn(
+            [lambda x, t: x, lambda x, t: x],
+            adapters=[lambda x: x])
+
+
+def test_sinusoidal_embedding_validates_dim():
+    from composable_diffusion_models_tpu.models.embeddings import (
+        sinusoidal_embedding)
+    t = jnp.ones((2,))
+    assert sinusoidal_embedding(t, 8).shape == (2, 8)
+    for bad in (2, 7):  # dim=2 -> 0/0 NaN embedding; odd -> silently narrower
+        with pytest.raises(ValueError, match="even"):
+            sinusoidal_embedding(t, bad)
+
+
 def test_gray_lift_adjoint(key):
     """gray_to_rgb(normalized=True) is the exact adjoint of the unit-norm
     luma projection: <lift(g), x> == <g, P x> and P(lift(g)) == g (unit

@@ -91,6 +91,49 @@ def test_resume_bitwise_identical(key, tmp_path):
         assert jnp.array_equal(a, b), "resume diverged from straight run"
 
 
+def test_resume_from_remainder_chunk_is_noop(key, tmp_path):
+    """Restoring from the checkpoint of a REMAINDER chunk (steps not a
+    multiple of steps_per_scan) must not re-run it: resume from a complete
+    25-step run (chunks 10/10/5) returns the restored params bitwise with
+    zero new losses (the old chunk-index skip re-ran the 5-step chunk,
+    over-training to 30 steps)."""
+    from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+
+    sch = VPSchedule()
+    m = ScoreMLP(hidden=16)
+    x = data.toy2d(key, 128)
+    p0 = m.init(key, jnp.ones((1,)), jnp.zeros((1, 2)))
+    mgr = CheckpointManager(str(tmp_path), "exp")
+
+    p_full, losses_full = train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr, "mlp", steps=25, batch_size=32,
+        steps_per_scan=10, time_first=True)
+    assert losses_full.shape == (25,)
+    assert mgr.step_list("mlp")[-1] == 25
+
+    p_again, losses_again = train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr, "mlp", steps=25, batch_size=32,
+        steps_per_scan=10, time_first=True)
+    assert losses_again.shape == (0,), "complete run must not re-train"
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_again)):
+        assert jnp.array_equal(a, b)
+
+    # and a mid-run restore from the 20-step checkpoint runs ONLY the
+    # 5-step remainder, matching the uninterrupted run bitwise
+    mgr2 = CheckpointManager(str(tmp_path / "b"), "exp")
+    train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr2, "mlp", steps=20, batch_size=32,
+        steps_per_scan=10, time_first=True)
+    p_resumed, losses_tail = train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr2, "mlp", steps=25, batch_size=32,
+        steps_per_scan=10, time_first=True)
+    assert losses_tail.shape == (5,)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        assert jnp.array_equal(a, b)
+
+
 def test_resume_bitwise_identical_with_ema(key, tmp_path):
     """EMA rides the step checkpoints: a killed-and-resumed EMA run returns
     bitwise the same EMA tree as an uninterrupted one, and matches the

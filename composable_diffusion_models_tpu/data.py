@@ -120,6 +120,12 @@ def make_shapes_dataset(size: int = 5000, img_size: int = 64,
                       (unit noise), removing both mismatches — pair with
                       experts.rgb_to_gray(x, normalized=True) at sampling.
     """
+    if grayscale not in (False, None, True, "white", "luma", "luma_norm"):
+        # an unrecognized mode (e.g. the typo "luma-norm") would silently
+        # fall through to 3-channel RGB and surface later as an opaque conv
+        # channel mismatch — or worse, train on the wrong data
+        raise ValueError(f"unknown grayscale mode {grayscale!r}; choose "
+                         "False | True | 'white' | 'luma' | 'luma_norm'")
     combos = [(s, c) for s in range(3) for c in range(3)]
     if holdout:
         held = set(tuple(h) for h in holdout)

@@ -243,7 +243,19 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                   "step": jnp.zeros((), jnp.int32)}
     if ema_decay:
         state_like["ema_params"] = ema
-    restored, start_step = ckpt_mgr.restore_latest(name, state_like)
+    try:
+        restored, start_step = ckpt_mgr.restore_latest(name, state_like)
+    except Exception as e:
+        if ema_decay:
+            # the actionable failure here is on-disk step checkpoints
+            # written before EMA was requested (no ema_params key) — orbax
+            # raises an opaque tree-structure mismatch
+            raise RuntimeError(
+                f"could not restore step checkpoints for {name!r} with "
+                "ema_decay set — if they were written without EMA, finish "
+                "the run with ema_decay=0 or start a fresh checkpoint dir"
+            ) from e
+        raise
     if restored is not None:
         params, opt_state = restored["params"], restored["opt_state"]
         if ema_decay:

@@ -110,6 +110,10 @@ def main():
         ap.error("--op proj (projection substitution, compose.projected) "
                  "needs --factor0_grayscale --gray_norm so the factor-0 "
                  "expert estimates exactly P eps")
+    weight_grid_pre = json.loads(args.weight_grid)
+    if "avg" in args.op.split(",") and any(sum(w) == 0 for w in weight_grid_pre):
+        ap.error("avg weights must not sum to 0 (compose.weighted divides "
+                 "by sum(w); fail fast — expert training costs minutes)")
     holdout = [tuple(h) for h in json.loads(args.holdout)]
     key = jax.random.PRNGKey(args.seed)
     size = cfg.data.img_size
@@ -279,6 +283,8 @@ def main():
         if op == "avg":
             s = sum(wpair)
             return (op,) + tuple(round(w / s, 6) for w in wpair)
+        if op == "proj":
+            return (op, wpair[0])  # substitution strength only; w[1] unused
         return (op,) + tuple(wpair)
 
     seen_settings = set()

@@ -200,10 +200,12 @@ def main():
     for name, sec, fl in rows:
         tf = f"{fl / sec / 1e12:.1f}" if fl else "-"
         # physical-plausibility guard (CLAUDE.md measurement discipline):
-        # an implied TF/s above the chip's bf16 peak means the measurement
-        # was corrupted (DCE'd body, or the timed call rode a warm artifact)
-        if fl and fl / sec / 1e12 > 197.0:
-            tf += " IMPLAUSIBLE(>peak)"
+        # every FLOP-bearing row here is a conv, and the calibrated conv
+        # ceiling on this chip is ~150-190 TF/s — anything above 190 means
+        # the measurement was corrupted (DCE'd body, or the timed call rode
+        # a warm artifact), even if it is still below the 197 matmul peak
+        if fl and fl / sec / 1e12 > 190.0:
+            tf += " IMPLAUSIBLE(>conv-ceiling)"
         pct = f"{100 * sec / step_sec:.0f}%" if sec <= step_sec * 1.5 else "-"
         print(f"| {name} | {sec * 1e3:.2f} | {tf} | {pct} |")
     ips = bs / sec_sample

@@ -12,6 +12,12 @@ BS="${BS:-256}"
 EMA="${EMA:-0.999}"
 # resume support: START=3 bash scripts/run_flagship.sh skips workloads 1-2
 START="${START:-1}"
+case "$START" in
+  ''|*[!0-9]*)
+    # a non-integer START would make every [ -le ] guard fail silently and
+    # the script would "complete" having run nothing
+    echo "START must be an integer 1-5, got '$START'" >&2; exit 2;;
+esac
 T="--train.steps=$STEPS --train.batch_size=$BS --train.ema_decay=$EMA"
 
 [ "$START" -le 1 ] && {

@@ -175,6 +175,27 @@ def test_resume_bitwise_identical_with_ema(key, tmp_path):
                         jax.tree_util.tree_leaves(ema_np)))
 
 
+def test_resume_with_ema_on_pre_ema_checkpoint_raises_actionably(key, tmp_path):
+    """Step checkpoints written WITHOUT ema cannot be restored with
+    ema_decay set — the failure must name the fix instead of surfacing an
+    opaque orbax tree mismatch (the tunnel-outage recovery path)."""
+    import pytest
+    from composable_diffusion_models_tpu.checkpoint import CheckpointManager
+
+    sch = VPSchedule()
+    m = ScoreMLP(hidden=16)
+    x = data.toy2d(key, 128)
+    p0 = m.init(key, jnp.ones((1,)), jnp.zeros((1, 2)))
+    mgr = CheckpointManager(str(tmp_path), "exp")
+    train.train_expert_resumable(
+        key, m.apply, p0, sch, x, mgr, "mlp", steps=10, batch_size=32,
+        steps_per_scan=10, time_first=True)  # no EMA in the checkpoint
+    with pytest.raises(RuntimeError, match="ema_decay=0"):
+        train.train_expert_resumable(
+            key, m.apply, p0, sch, x, mgr, "mlp", steps=20, batch_size=32,
+            steps_per_scan=10, time_first=True, ema_decay=0.9)
+
+
 def test_save_step_keeps_latest_k(key, tmp_path):
     from composable_diffusion_models_tpu.checkpoint import CheckpointManager
     mgr = CheckpointManager(str(tmp_path), "exp")

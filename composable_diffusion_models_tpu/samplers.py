@@ -106,7 +106,8 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
          clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
          clip_min_alpha: float = 0.3,
          t_max: float = 1.0, t_min: float = 1e-3,
-         eta: float = 0.0, key: Optional[Array] = None) -> Array:
+         eta: float = 0.0, key: Optional[Array] = None,
+         predict: str = "eps") -> Array:
     """DDIM update (parity: /root/reference/shapes/compose_images_ddim.py:21-70):
 
       x0_pred = (x - sigma_now * eps) / alpha_now, clamped
@@ -127,7 +128,16 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     with the eps coefficient shrunk to keep the marginal variance; eta=0 is
     the deterministic sampler (bit-identical to before), eta=1 matches DDPM
     ancestral noise levels. ``key`` is required when eta > 0.
+
+    ``predict="x0"`` consumes a closure that returns the clean-image
+    estimate directly instead of eps (the reference's cross-attention model,
+    trained against target_rgb and used as x-hat-0 in its sampler —
+    compositional_diffusion_with_cross_attention.py:259,301-313); eps is
+    recovered as (x - alpha * x0) / sigma so the eta branch and the update
+    are shared. Train such a model with make_loss_fn(..., predict="x0").
     """
+    if predict not in ("eps", "x0"):
+        raise ValueError(f"predict must be 'eps' or 'x0', got {predict!r}")
     table = schedule.ddim_table(n_steps, t_max, t_min)
     # t values at the "now" edge of each interval, for the model input
     ts = jnp.linspace(t_max, t_min, n_steps + 1)[:-1]
@@ -137,11 +147,16 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     def body(x, row_t):
         row, t, i = row_t
         a_now, s_now, a_next, s_next = row[0], row[1], row[2], row[3]
-        eps_hat = eps_fn(x, t)
-        x0 = (x - s_now * eps_hat) / a_now
+        out = eps_fn(x, t)
+        x0 = out if predict == "x0" else (x - s_now * out) / a_now
         if clip is not None:
             x0 = jnp.where(a_now >= clip_min_alpha,
                            jnp.clip(x0, clip[0], clip[1]), x0)
+        # eps mode keeps the RAW model eps in the update (reference
+        # behavior); x0 mode derives eps from the (possibly clipped) x0 so
+        # the update stays self-consistent with the estimate it renoises
+        eps_hat = (out if predict == "eps"
+                   else (x - a_now * x0) / jnp.maximum(s_now, 1e-12))
         if eta > 0.0:
             sig = eta * (s_next / jnp.maximum(s_now, 1e-12)) * jnp.sqrt(
                 jnp.clip(1.0 - (a_now / a_next) ** 2, 0.0))

@@ -38,9 +38,18 @@ class TrainState:
 def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
                  t_min: float = 1e-3, uncond_prob: float = 0.0,
                  null_labels: Optional[Sequence[int]] = None,
-                 time_first: bool = False):
+                 time_first: bool = False, predict: str = "eps"):
     """Denoising MSE loss. ``apply_fn(params, x, t, *labels)`` predicts eps
-    (``time_first`` flips to the MLP convention apply_fn(params, t, x, ...))."""
+    (``time_first`` flips to the MLP convention apply_fn(params, t, x, ...)).
+
+    ``predict`` selects the parameterization the network is trained to
+    output: "eps" (noise, the default everywhere) or "x0" (the clean image —
+    the reference's cross-attention model is an x0-predictor: trained
+    against target_rgb at compositional_diffusion_with_cross_attention.py:259
+    and consumed as x-hat-0 in its sampler at :301-313). Pair an "x0" model
+    with ``samplers.ddim(..., predict="x0")``."""
+    if predict not in ("eps", "x0"):
+        raise ValueError(f"predict must be 'eps' or 'x0', got {predict!r}")
     discrete = isinstance(schedule, DDPMSchedule)
 
     def loss_fn(params: Params, key: Array, x0: Array,
@@ -62,10 +71,11 @@ def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
                 jnp.where(drop, jnp.asarray(nl, lab.dtype), lab)
                 for lab, nl in zip(labels, null_labels))
         if time_first:
-            eps_hat = apply_fn(params, t_in, xt, *labels)
+            out = apply_fn(params, t_in, xt, *labels)
         else:
-            eps_hat = apply_fn(params, xt, t_in, *labels)
-        return jnp.mean((eps_hat - eps) ** 2)
+            out = apply_fn(params, xt, t_in, *labels)
+        target = x0 if predict == "x0" else eps
+        return jnp.mean((out - target) ** 2)
 
     return loss_fn
 
@@ -88,7 +98,8 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
                      batch_size: int, uncond_prob: float = 0.0,
                      null_labels: Optional[Sequence[int]] = None,
                      time_first: bool = False,
-                     ema_decay: Optional[float] = None):
+                     ema_decay: Optional[float] = None,
+                     predict: str = "eps"):
     """Jitted multi-step training chunk: ``length`` optimizer steps fused in
     one ``lax.scan``; batches gathered with ``jnp.take`` inside the program.
 
@@ -104,7 +115,8 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
     """
 
     loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
-                           null_labels=null_labels, time_first=time_first)
+                           null_labels=null_labels, time_first=time_first,
+                           predict=predict)
 
     def step(params, opt_state, k, images, labels):
         n = images.shape[0]
@@ -163,7 +175,8 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                  null_labels: Optional[Sequence[int]] = None,
                  time_first: bool = False,
                  steps_per_scan: int = 100,
-                 ema_decay: Optional[float] = None) -> Tuple[Params, Array]:
+                 ema_decay: Optional[float] = None,
+                 predict: str = "eps") -> Tuple[Params, Array]:
     """Train one expert on a device-resident dataset. Returns (params, losses)
     — with ``ema_decay`` set, params are the EMA tree (the sampling-quality
     standard; the raw final tree is discarded).
@@ -179,7 +192,7 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     run_chunk = make_train_chunk(
         apply_fn, schedule, tx, batch_size=batch_size,
         uncond_prob=uncond_prob, null_labels=null_labels,
-        time_first=time_first, ema_decay=ema_decay)
+        time_first=time_first, ema_decay=ema_decay, predict=predict)
     ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     all_losses = []
@@ -210,8 +223,8 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                            time_first: bool = False,
                            steps_per_scan: int = 100,
                            keep: int = 3,
-                           ema_decay: Optional[float] = None
-                           ) -> Tuple[Params, Array]:
+                           ema_decay: Optional[float] = None,
+                           predict: str = "eps") -> Tuple[Params, Array]:
     """``train_expert`` with preemption recovery (SURVEY.md §5.3 — a NEW
     capability over the reference's save-only checkpoints).
 
@@ -236,7 +249,7 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     run_chunk = make_train_chunk(
         apply_fn, schedule, tx, batch_size=batch_size,
         uncond_prob=uncond_prob, null_labels=null_labels,
-        time_first=time_first, ema_decay=ema_decay)
+        time_first=time_first, ema_decay=ema_decay, predict=predict)
     ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     state_like = {"params": params, "opt_state": opt_state,

@@ -66,6 +66,7 @@ def main():
     train_kw = dict(
         labels=train_labels, steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
+        predict=cfg.train.predict,
         uncond_prob=cfg.train.uncond_prob,
         null_labels=tuple(cfg.model.num_classes) if cfg.train.uncond_prob else None,
         steps_per_scan=min(100, cfg.train.steps))

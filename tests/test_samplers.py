@@ -26,6 +26,39 @@ def test_ddim_preserves_standard_normal(key):
     assert abs(float(out.mean())) < 0.1
 
 
+def test_ddim_x0_prediction_matches_eps_prediction(key):
+    """The two DDIM parameterizations are the same sampler when the
+    closures are algebraically consistent: x0_fn = (x - sigma*eps_fn)/alpha
+    (the reference's cross-attention model is an x0-predictor,
+    cross_attention.py:259,301-313)."""
+    x_init = jax.random.normal(key, (64, 2))
+
+    def x0_fn(x, t):
+        return (x - SCH.sigma(t) * gaussian_eps_fn(x, t)) / SCH.alpha(t)
+
+    out_eps = samplers.ddim(gaussian_eps_fn, SCH, x_init, 50, clip=None)
+    out_x0 = samplers.ddim(x0_fn, SCH, x_init, 50, clip=None, predict="x0")
+    np.testing.assert_allclose(np.asarray(out_x0), np.asarray(out_eps),
+                               rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="predict"):
+        samplers.ddim(x0_fn, SCH, x_init, 5, predict="v")
+
+
+def test_x0_loss_targets_clean_image(key):
+    """make_loss_fn(predict='x0') scores the output against x0, not eps: a
+    zero predictor's loss equals E[x0^2] (vs ~1 = E[eps^2] for eps mode)."""
+    from composable_diffusion_models_tpu import train
+    x0 = jnp.full((128, 2), 0.1)
+    zero_apply = lambda params, x, t: jnp.zeros_like(x)
+    l_x0 = train.make_loss_fn(zero_apply, SCH, predict="x0")(
+        None, key, x0)
+    l_eps = train.make_loss_fn(zero_apply, SCH)(None, key, x0)
+    assert abs(float(l_x0) - 0.01) < 2e-3   # mean(x0^2) = 0.01
+    assert abs(float(l_eps) - 1.0) < 0.1    # mean(eps^2) = 1
+    with pytest.raises(ValueError, match="predict"):
+        train.make_loss_fn(zero_apply, SCH, predict="score")
+
+
 def test_euler_maruyama_preserves_standard_normal(key):
     x_init = jax.random.normal(key, (BS, 2))
     out = samplers.euler_maruyama(gaussian_eps_fn, SCH, key, x_init, 200)

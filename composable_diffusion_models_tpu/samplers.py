@@ -609,6 +609,37 @@ def make_cfg_eps_fn(apply_fn: Callable[..., Array],
     return eps_fn
 
 
+def make_classifier_guided_eps_fn(eps_fn: EpsFn, schedule: VPSchedule,
+                                  logp_fn: Callable[[Array, Array], Array],
+                                  scale: float = 1.0) -> EpsFn:
+    """Classifier guidance (Dhariwal & Nichol 2021) — a beyond-reference
+    composition lever: steer ANY unconditional/composed eps closure with the
+    gradient of an external classifier, no retraining of the experts.
+
+        eps'(x, t) = eps(x, t) - scale * sigma(t) * grad_x log p(y | x_t)
+
+    (in score units: s' = s + scale * grad log p(y|x) — at scale 1 this is
+    exactly Bayes' rule, sampling the class-conditional p(x|y); verified
+    analytically in test_samplers.py on a 2-Gaussian mixture whose guided
+    sampler must land on the class-1 component).
+
+    ``logp_fn(x, t) -> (B,)``: log-probability of the TARGET class under a
+    noise-aware classifier (e.g. eval.ProbeClassifier trained with
+    ``noise_aug``; slice its logits at the target and log-softmax). The
+    gradient flows through jax.grad inside the jitted sampler scan — no
+    autograd-graph juggling as in the torch equivalent.
+    """
+    def guided(x: Array, t: Array) -> Array:
+        eps = eps_fn(x, t)
+        g = jax.grad(lambda xx: jnp.sum(logp_fn(xx, t)))(x)
+        sig = jnp.asarray(schedule.sigma(t))
+        if sig.ndim:  # per-sample t: broadcast over trailing dims
+            sig = sig.reshape(sig.shape + (1,) * (x.ndim - sig.ndim))
+        return eps - scale * sig * g
+
+    return guided
+
+
 # ---------------------------------------------------------------------------
 # Parallel-in-time sampling (beyond-reference; Shih et al. 2023,
 # "Parallel Sampling of Diffusion Models", arXiv:2305.16317)

@@ -44,6 +44,37 @@ def test_ddim_x0_prediction_matches_eps_prediction(key):
         samplers.ddim(x0_fn, SCH, x_init, 5, predict="v")
 
 
+def test_classifier_guidance_is_bayes_rule_at_scale_1(key):
+    """2-Gaussian mixture x0|y=k ~ N(((-1)^k+1) m, I): at scale 1, guiding
+    the MARGINAL eps with grad log p(y=1|x_t) is exactly Bayes' rule, so the
+    guided sampler must produce the class-1 conditional N(+m, I). Uses the
+    stable-VP identity alpha^2 + sigma^2 = 1 (x_t|y ~ N(+-alpha m, I))."""
+    m = jnp.asarray([2.0, 0.0])
+
+    def marginal_eps(x, t):
+        a, s = SCH.alpha(t), SCH.sigma(t)
+        # E[x0|x_t] = tanh(alpha m.x) m  =>  eps = (x - a E[x0|x])/s... the
+        # marginal score is -(x - a tanh(a m.x) m) (unit covariance), and
+        # eps = -sigma * score
+        m_eff = jnp.tanh(a * (x @ m))[:, None] * m[None, :]
+        return s * (x - a * m_eff)
+
+    def logp_y1(x, t):
+        # p(y=1|x_t) = sigmoid(2 alpha m.x)
+        return jax.nn.log_sigmoid(2.0 * SCH.alpha(t) * (x @ m))
+
+    guided = samplers.make_classifier_guided_eps_fn(
+        marginal_eps, SCH, logp_y1, scale=1.0)
+    x_init = jax.random.normal(key, (BS, 2))
+    out = samplers.ddim(guided, SCH, x_init, 200, clip=None)
+    mean = np.asarray(out.mean(axis=0))
+    np.testing.assert_allclose(mean, np.asarray(m), atol=0.15)
+    assert abs(float(out.std(axis=0)[1]) - 1.0) < 0.15
+    # unguided control: the marginal is symmetric, mean ~ 0
+    out_u = samplers.ddim(marginal_eps, SCH, x_init, 200, clip=None)
+    assert abs(float(out_u[:, 0].mean())) < 0.5
+
+
 def test_x0_loss_targets_clean_image(key):
     """make_loss_fn(predict='x0') scores the output against x0, not eps: a
     zero predictor's loss equals E[x0^2] (vs ~1 = E[eps^2] for eps mode)."""

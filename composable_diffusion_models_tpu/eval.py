@@ -65,6 +65,7 @@ def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
                 num_classes: Optional[Sequence[int]] = None,
                 steps: int = 1500, batch_size: int = 256, lr: float = 2e-3,
                 base_dim: int = 32, noise_aug: float = 0.0,
+                vp_schedule: Any = None,
                 dtype: Any = jnp.bfloat16) -> Tuple[ProbeClassifier, Params]:
     """Train a probe on (images, per-factor labels). Returns (module, params).
 
@@ -72,19 +73,25 @@ def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
     adds Gaussian noise to the probe's training inputs so the metric stays
     meaningful on imperfect generated samples (a probe fit only on clean
     renders can classify slightly-off samples arbitrarily).
+
+    ``vp_schedule`` (a hashable VPSchedule) replaces the fixed-scale
+    augmentation with VP forward noising at t ~ U(0.02, 0.9) per sample —
+    the classifier then sees diffusion states x_t across the trajectory,
+    which is what ``samplers.make_classifier_guided_eps_fn`` needs its
+    log p(y | x_t) gradients to be meaningful on.
     """
     if num_classes is None:
         num_classes = [int(lab.max()) + 1 for lab in labels]
     model = ProbeClassifier(tuple(num_classes), base_dim, dtype)
     params = model.init(key, images[:1])
-    run = _make_probe_runner(model, lr, batch_size, noise_aug)
+    run = _make_probe_runner(model, lr, batch_size, noise_aug, vp_schedule)
     params, losses = run(params, key, images, tuple(labels), steps=steps)
     return model, params
 
 
 @functools.lru_cache(maxsize=None)
 def _make_probe_runner(model: ProbeClassifier, lr: float, batch_size: int,
-                       noise_aug: float):
+                       noise_aug: float, vp_schedule: Any = None):
     """One jitted whole-training scan per (model config, lr, bs, noise_aug):
     repeat train_probe calls (eval_composition probes several datasets per
     run) hit the jit cache instead of recompiling, keyed on arg shapes —
@@ -110,7 +117,12 @@ def _make_probe_runner(model: ProbeClassifier, lr: float, batch_size: int,
             ki, kn = jax.random.split(jax.random.fold_in(key, i))
             idx = jax.random.randint(ki, (batch_size,), 0, n)
             x = jnp.take(images, idx, axis=0)
-            if noise_aug > 0.0:
+            if vp_schedule is not None:
+                kt, ke = jax.random.split(kn)
+                t = jax.random.uniform(kt, (batch_size,),
+                                       minval=0.02, maxval=0.9)
+                x, _ = vp_schedule.q_t(ke, x, t)
+            elif noise_aug > 0.0:
                 x = x + noise_aug * jax.random.normal(kn, x.shape, x.dtype)
             ys = tuple(jnp.take(lab, idx, axis=0) for lab in labels)
             loss, grads = jax.value_and_grad(loss_fn)(params, x, ys)

@@ -60,10 +60,15 @@ def main():
                          "the same trained experts: avg (weighted score "
                          "average, reference op-1), ito (equal-density-path "
                          "AND via jvp-divergence kappa + prob-flow ODE, "
-                         "reference op-2), and/or cfg (CFG conjunction "
+                         "reference op-2), cfg (CFG conjunction "
                          "eps_u + sum_i w_i (eps_i - eps_u) with eps_u = "
                          "mean of the experts' null-token outputs, "
-                         "reference op-5, _5.py:313-325)")
+                         "reference op-5, _5.py:313-325), proj/proj_cfg "
+                         "(projection substitution, compose.projected — "
+                         "needs --factor0_grayscale --gray_norm), and/or "
+                         "cg (equal-weight avg steered by a VP-noised "
+                         "holdout-filtered guidance probe at scale w[0] — "
+                         "beyond-reference classifier guidance)")
     ap.add_argument("--factor0_grayscale", action="store_true",
                     help="train the factor-0 (shape/digit) expert on the "
                          "GRAYSCALE projection of the data — the reference's "
@@ -97,7 +102,7 @@ def main():
         args.probe_steps = 200
         args.samples_per_combo = 8
         args.n_steps = min(args.n_steps, 20)
-    known_ops = ("avg", "ito", "cfg", "proj", "proj_cfg")
+    known_ops = ("avg", "ito", "cfg", "proj", "proj_cfg", "cg")
     bad = [o for o in args.op.split(",") if o not in known_ops]
     if bad:
         ap.error(f"unknown --op {bad}; choose from {known_ops} "
@@ -193,6 +198,21 @@ def main():
     null_s = jnp.full((bs,), n_classes[0], jnp.int32)
     null_c = jnp.full((bs,), n_classes[1], jnp.int32)
 
+    gprobe = gprobe_params = None
+    if "cg" in args.op.split(","):
+        # classifier-guidance probe: trained on the SAME holdout-filtered
+        # data the experts see (no leakage of held-out combos — unlike the
+        # eval probe above, which must know them to score them), VP-noised
+        # across t so its log p(y | x_t) gradients are meaningful along the
+        # whole sampling trajectory. Its per-factor heads are independent,
+        # so guidance toward a held-out (shape, color) pair is itself
+        # compositional: grad log p(y_s|x) + grad log p(y_c|x).
+        print("training guidance probe (holdout-filtered, VP-noised) ...")
+        gprobe, gprobe_params = ceval.train_probe(
+            jax.random.fold_in(key, 7), held_imgs, (held_s, held_c),
+            num_classes=n_classes, steps=args.probe_steps,
+            vp_schedule=schedule)
+
     @functools.partial(jax.jit, static_argnames=("op",))
     def _sample(sl, cl, weights, k, op):
         # labels are traced args: ONE compile per operator covers every
@@ -264,7 +284,21 @@ def main():
                 return compose.cfg(eps_u, jnp.stack([e_s, e_c]), weights)
             e_shape = apply_f0(sp, x, t, sl)
             e_color = color_model.apply(cp, x, t, cl)
+            if op == "cg":
+                # equal-weight average, steered by the guidance probe at
+                # scale weights[0] (weights[1] unused — see canonical())
+                return compose.weighted(
+                    jnp.stack([e_shape, e_color]), jnp.ones((2,)))
             return compose.weighted(jnp.stack([e_shape, e_color]), weights)
+
+        if op == "cg":
+            def logp_fn(x, t):
+                lg_s, lg_c = gprobe.apply(gprobe_params, x)
+                rows = jnp.arange(bs)
+                return (jax.nn.log_softmax(lg_s, axis=-1)[rows, sl]
+                        + jax.nn.log_softmax(lg_c, axis=-1)[rows, cl])
+            eps_fn = samplers.make_classifier_guided_eps_fn(
+                eps_fn, schedule, logp_fn, scale=weights[0])
 
         x_init = jax.random.normal(k, (bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)
@@ -283,8 +317,8 @@ def main():
         if op == "avg":
             s = sum(wpair)
             return (op,) + tuple(round(w / s, 6) for w in wpair)
-        if op == "proj":
-            return (op, wpair[0])  # substitution strength only; w[1] unused
+        if op in ("proj", "cg"):
+            return (op, wpair[0])  # strength/scale only; w[1] unused
         return (op,) + tuple(wpair)
 
     seen_settings = set()

@@ -44,6 +44,10 @@ def main():
     x_init = jax.random.normal(key, shape)
     eps_fn = lambda x, t: model.apply(params, x, t)
 
+    if cfg.train.predict == "x0" and cfg.sample.sampler not in (None, "", "ddim"):
+        raise SystemExit("x0-prediction models sample via ddim only "
+                         "(predict='x0' is threaded through samplers.ddim; "
+                         "em/ode/picard/dpmpp consume eps closures)")
     if cfg.sample.sampler == "em":
         out = samplers.euler_maruyama(eps_fn, schedule, key, x_init,
                                       cfg.sample.n_steps, cfg.sample.xi)
@@ -66,7 +70,8 @@ def main():
     else:
         out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps,
                             eta=args.eta,
-                            key=jax.random.fold_in(key, 1) if args.eta else None)
+                            key=jax.random.fold_in(key, 1) if args.eta else None,
+                            predict=cfg.train.predict)
 
     path = save_grid(out, f"{mgr.results_dir}/{args.name}_samples.png")
     print(f"samples saved to {path}")

@@ -134,10 +134,16 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     trained against target_rgb and used as x-hat-0 in its sampler —
     compositional_diffusion_with_cross_attention.py:259,301-313); eps is
     recovered as (x - alpha * x0) / sigma so the eta branch and the update
-    are shared. Train such a model with make_loss_fn(..., predict="x0").
+    are shared. ``predict="v"`` consumes a velocity model (Salimans & Ho
+    2022): x0 = alpha*x - sigma*v and eps = sigma*x + alpha*v — identities
+    valid only for the true-VP schedule (alpha^2 + sigma^2 = 1), enforced
+    here. Train such models with make_loss_fn(..., predict=...).
     """
-    if predict not in ("eps", "x0"):
-        raise ValueError(f"predict must be 'eps' or 'x0', got {predict!r}")
+    if predict not in ("eps", "x0", "v"):
+        raise ValueError(f"predict must be 'eps', 'x0' or 'v', "
+                         f"got {predict!r}")
+    if predict == "v" and schedule.kind != "stable":
+        raise ValueError("predict='v' needs VPSchedule(kind='stable')")
     table = schedule.ddim_table(n_steps, t_max, t_min)
     # t values at the "now" edge of each interval, for the model input
     ts = jnp.linspace(t_max, t_min, n_steps + 1)[:-1]
@@ -148,12 +154,17 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
         row, t, i = row_t
         a_now, s_now, a_next, s_next = row[0], row[1], row[2], row[3]
         out = eps_fn(x, t)
-        x0 = out if predict == "x0" else (x - s_now * out) / a_now
+        if predict == "x0":
+            x0 = out
+        elif predict == "v":
+            x0 = a_now * x - s_now * out
+        else:
+            x0 = (x - s_now * out) / a_now
         if clip is not None:
             x0 = jnp.where(a_now >= clip_min_alpha,
                            jnp.clip(x0, clip[0], clip[1]), x0)
         # eps mode keeps the RAW model eps in the update (reference
-        # behavior); x0 mode derives eps from the (possibly clipped) x0 so
+        # behavior); x0/v modes derive eps from the (possibly clipped) x0 so
         # the update stays self-consistent with the estimate it renoises
         eps_hat = (out if predict == "eps"
                    else (x - a_now * x0) / jnp.maximum(s_now, 1e-12))

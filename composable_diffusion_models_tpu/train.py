@@ -43,14 +43,21 @@ def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
     (``time_first`` flips to the MLP convention apply_fn(params, t, x, ...)).
 
     ``predict`` selects the parameterization the network is trained to
-    output: "eps" (noise, the default everywhere) or "x0" (the clean image —
+    output: "eps" (noise, the default everywhere), "x0" (the clean image —
     the reference's cross-attention model is an x0-predictor: trained
     against target_rgb at compositional_diffusion_with_cross_attention.py:259
-    and consumed as x-hat-0 in its sampler at :301-313). Pair an "x0" model
-    with ``samplers.ddim(..., predict="x0")``."""
-    if predict not in ("eps", "x0"):
-        raise ValueError(f"predict must be 'eps' or 'x0', got {predict!r}")
+    and consumed as x-hat-0 in its sampler at :301-313), or "v" (velocity,
+    Salimans & Ho 2022: v = alpha*eps - sigma*x0 — the
+    distillation-friendly parameterization; requires the true-VP
+    ``VPSchedule(kind="stable")`` since its inversion identities need
+    alpha^2 + sigma^2 = 1). Pair with ``samplers.ddim(..., predict=...)``."""
+    if predict not in ("eps", "x0", "v"):
+        raise ValueError(f"predict must be 'eps', 'x0' or 'v', "
+                         f"got {predict!r}")
     discrete = isinstance(schedule, DDPMSchedule)
+    if predict == "v" and (discrete or schedule.kind != "stable"):
+        raise ValueError("predict='v' needs VPSchedule(kind='stable') — the "
+                         "v identities assume alpha^2 + sigma^2 = 1")
 
     def loss_fn(params: Params, key: Array, x0: Array,
                 labels: Tuple[Array, ...] = ()) -> Array:
@@ -74,7 +81,13 @@ def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
             out = apply_fn(params, t_in, xt, *labels)
         else:
             out = apply_fn(params, xt, t_in, *labels)
-        target = x0 if predict == "x0" else eps
+        if predict == "v":
+            bc = (-1,) + (1,) * (x0.ndim - 1)
+            a = schedule.alpha(t).reshape(bc)
+            s = schedule.sigma(t).reshape(bc)
+            target = a * eps - s * x0
+        else:
+            target = x0 if predict == "x0" else eps
         return jnp.mean((out - target) ** 2)
 
     return loss_fn

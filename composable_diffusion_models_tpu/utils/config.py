@@ -64,8 +64,9 @@ class TrainConfig:
     lr: float = 2e-4
     uncond_prob: float = 0.0
     ema_decay: float = 0.0             # 0 = off; 0.999 typical (sample with EMA)
-    predict: str = "eps"               # eps | x0 (the reference's cross-attn
-                                       # model is an x0-predictor, §7.5)
+    predict: str = "eps"               # eps | x0 | v (x0: the reference's
+                                       # cross-attn model, §7.5; v: Salimans
+                                       # & Ho 2022, stable schedule only)
     seed: int = 42
     sanity: bool = False               # the reference's fast-path flag
 

@@ -44,10 +44,12 @@ def main():
     x_init = jax.random.normal(key, shape)
     eps_fn = lambda x, t: model.apply(params, x, t)
 
-    if cfg.train.predict == "x0" and cfg.sample.sampler not in (None, "", "ddim"):
-        raise SystemExit("x0-prediction models sample via ddim only "
-                         "(predict='x0' is threaded through samplers.ddim; "
-                         "em/ode/picard/dpmpp consume eps closures)")
+    if (cfg.train.predict != "eps"
+            and cfg.sample.sampler not in (None, "", "ddim")):
+        raise SystemExit(f"predict='{cfg.train.predict}' models sample via "
+                         "ddim only (the flag is threaded through "
+                         "samplers.ddim; em/ode/picard/dpmpp consume eps "
+                         "closures)")
     if cfg.sample.sampler == "em":
         out = samplers.euler_maruyama(eps_fn, schedule, key, x_init,
                                       cfg.sample.n_steps, cfg.sample.xi)

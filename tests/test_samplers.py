@@ -40,8 +40,20 @@ def test_ddim_x0_prediction_matches_eps_prediction(key):
     out_x0 = samplers.ddim(x0_fn, SCH, x_init, 50, clip=None, predict="x0")
     np.testing.assert_allclose(np.asarray(out_x0), np.asarray(out_eps),
                                rtol=2e-4, atol=2e-4)
+
+    # v-parameterization (Salimans & Ho): v = alpha*eps - sigma*x0 — same
+    # sampler again through the stable-VP identities
+    def v_fn(x, t):
+        return SCH.alpha(t) * gaussian_eps_fn(x, t) - SCH.sigma(t) * x0_fn(x, t)
+
+    out_v = samplers.ddim(v_fn, SCH, x_init, 50, clip=None, predict="v")
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_eps),
+                               rtol=2e-4, atol=2e-4)
     with pytest.raises(ValueError, match="predict"):
-        samplers.ddim(x0_fn, SCH, x_init, 5, predict="v")
+        samplers.ddim(x0_fn, SCH, x_init, 5, predict="score")
+    from composable_diffusion_models_tpu.schedules import VPSchedule as _VPS
+    with pytest.raises(ValueError, match="stable"):
+        samplers.ddim(v_fn, _VPS(kind="jax_faithful"), x_init, 5, predict="v")
 
 
 def test_classifier_guidance_is_bayes_rule_at_scale_1(key):

@@ -34,6 +34,13 @@ Array = jax.Array
 
 _STABLE = "stable"
 _JAX_FAITHFUL = "jax_faithful"
+_COSINE = "cosine"
+# cosine shift (Improved DDPM, Nichol & Dhariwal 2021 eq. 17) and the phase
+# clamp that replaces the paper's discrete beta_t <= 0.999 clip: alpha at
+# t=1 floors at sin(0.02) ~ 0.02 instead of hitting cos(pi/2) = 0 exactly
+# (which would 0-divide the x0 estimate in DDIM and blow up g2)
+_COS_S = 0.008
+_COS_U_MAX = float(jnp.pi) / 2 - 0.02
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +49,10 @@ class VPSchedule:
 
     ``kind="stable"``:       sigma^2(t) = 1 - alpha^2(t)   (true VP)
     ``kind="jax_faithful"``: sigma(t) = t                   (notebook original)
+    ``kind="cosine"``:       alpha(t) = cos(pi/2 (t+s)/(1+s)) / cos(pi/2 s/(1+s)),
+                             true VP (beyond-reference: Improved DDPM eq. 17;
+                             phase clamped so alpha(1) > 0 — the continuous
+                             analog of the paper's beta <= 0.999 clip)
     """
 
     beta_0: float = 0.1
@@ -50,12 +61,18 @@ class VPSchedule:
     eps: float = 1e-9
 
     def __post_init__(self):
-        if self.kind not in (_STABLE, _JAX_FAITHFUL):
+        if self.kind not in (_STABLE, _JAX_FAITHFUL, _COSINE):
             raise ValueError(f"unknown schedule kind: {self.kind!r}")
 
     # --- signal rate -----------------------------------------------------
+    def _cos_u(self, t: Array) -> Array:
+        return (t + _COS_S) / (1.0 + _COS_S) * (jnp.pi / 2)
+
     def log_alpha(self, t: Array) -> Array:
         t = jnp.asarray(t, jnp.float32)
+        if self.kind == _COSINE:
+            u = jnp.minimum(self._cos_u(t), _COS_U_MAX)
+            return jnp.log(jnp.cos(u)) - jnp.log(jnp.cos(self._cos_u(0.0)))
         return -0.5 * t * self.beta_0 - 0.25 * t**2 * (self.beta_1 - self.beta_0)
 
     def alpha(self, t: Array) -> Array:
@@ -63,12 +80,19 @@ class VPSchedule:
 
     def dlog_alpha_dt(self, t: Array) -> Array:
         t = jnp.asarray(t, jnp.float32)
+        if self.kind == _COSINE:
+            u_raw = self._cos_u(t)
+            u = jnp.minimum(u_raw, _COS_U_MAX)
+            # clamped region: alpha is constant there, derivative 0 (matches
+            # autodiff through the jnp.minimum in log_alpha)
+            return jnp.where(u_raw < _COS_U_MAX,
+                             -(jnp.pi / 2) / (1.0 + _COS_S) * jnp.tan(u), 0.0)
         return -0.5 * self.beta_0 - 0.5 * t * (self.beta_1 - self.beta_0)
 
     # --- noise rate ------------------------------------------------------
     def log_sigma(self, t: Array) -> Array:
         t = jnp.asarray(t, jnp.float32)
-        if self.kind == _STABLE:
+        if self.kind != _JAX_FAITHFUL:  # true-VP kinds: sigma^2 = 1 - alpha^2
             return 0.5 * jnp.log(1.0 - jnp.exp(2.0 * self.log_alpha(t)) + self.eps)
         return jnp.log(t + self.eps)
 
@@ -86,7 +110,7 @@ class VPSchedule:
         jax_faithful: beta(t) = 1 + 0.5 t b0 + 0.5 t^2 (b1 - b0)  (notebook)
         """
         t = jnp.asarray(t, jnp.float32)
-        if self.kind == _STABLE:
+        if self.kind != _JAX_FAITHFUL:  # generic for any true-VP kind
             return -2.0 * self.dlog_alpha_dt(t) * self.sigma(t) ** 2
         return 1.0 + 0.5 * t * self.beta_0 + 0.5 * t**2 * (self.beta_1 - self.beta_0)
 
@@ -105,7 +129,7 @@ class VPSchedule:
         (superposition_edu.py:122-126) IS the probability-flow ODE.
         """
         t = jnp.asarray(t, jnp.float32)
-        if self.kind == _STABLE:
+        if self.kind != _JAX_FAITHFUL:  # generic for any true-VP kind
             return -2.0 * self.dlog_alpha_dt(t)
         s = self.sigma(t)
         return 2.0 * s - 2.0 * s**2 * self.dlog_alpha_dt(t)

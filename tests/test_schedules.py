@@ -47,6 +47,50 @@ class TestVPStable:
         assert float(jnp.max(jnp.abs(xt - (a * x0 + s * eps)))) < 1e-5
 
 
+class TestVPCosine:
+    """Improved-DDPM cosine schedule (Nichol & Dhariwal 2021 eq. 17),
+    continuous form, phase-clamped at the t=1 endpoint (the paper's
+    beta <= 0.999 clip analog) — beyond-reference kind."""
+
+    sch = VPSchedule(kind="cosine")
+
+    def test_variance_preserving(self):
+        err = self.sch.alpha(TS) ** 2 + self.sch.sigma(TS) ** 2 - 1.0
+        assert float(jnp.max(jnp.abs(err))) < 1e-4
+
+    def test_endpoints(self):
+        assert abs(float(self.sch.alpha(0.0)) - 1.0) < 1e-6
+        a1 = float(self.sch.alpha(1.0))
+        assert 0.0 < a1 < 0.05  # clamped floor, NOT exactly 0
+
+    def test_closed_form(self):
+        import math
+        s = 0.008
+        t = 0.37
+        expected = (math.cos(math.pi / 2 * (t + s) / (1 + s))
+                    / math.cos(math.pi / 2 * s / (1 + s)))
+        assert abs(float(self.sch.alpha(t)) - expected) < 1e-6
+
+    def test_dlog_alpha_matches_autodiff(self):
+        ts = TS[:-2]  # off the clamp kink
+        g = jax.vmap(jax.grad(lambda t: self.sch.log_alpha(t)))(ts)
+        assert float(jnp.max(jnp.abs(g - self.sch.dlog_alpha_dt(ts)))) < 1e-4
+
+    def test_g2_and_beta_vp_identities(self):
+        expected_g2 = -2.0 * self.sch.dlog_alpha_dt(TS)
+        assert float(jnp.max(jnp.abs(self.sch.g2(TS) - expected_g2))) < 1e-5
+        expected_b = expected_g2 * self.sch.sigma(TS) ** 2
+        assert float(jnp.max(jnp.abs(self.sch.beta(TS) - expected_b))) < 1e-5
+
+    def test_ddim_preserves_standard_normal(self, key):
+        from composable_diffusion_models_tpu import samplers
+        eps_fn = lambda x, t: self.sch.sigma(t) * x
+        x_init = jax.random.normal(key, (512, 2))
+        out = samplers.ddim(eps_fn, self.sch, x_init, 100, clip=None)
+        assert abs(float(out.std()) - 1.0) < 0.1
+        assert abs(float(out.mean())) < 0.1
+
+
 class TestVPJaxFaithful:
     sch = VPSchedule(kind="jax_faithful")
 

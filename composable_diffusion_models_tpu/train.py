@@ -38,7 +38,8 @@ class TrainState:
 def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
                  t_min: float = 1e-3, uncond_prob: float = 0.0,
                  null_labels: Optional[Sequence[int]] = None,
-                 time_first: bool = False, predict: str = "eps"):
+                 time_first: bool = False, predict: str = "eps",
+                 snr_gamma: Optional[float] = None):
     """Denoising MSE loss. ``apply_fn(params, x, t, *labels)`` predicts eps
     (``time_first`` flips to the MLP convention apply_fn(params, t, x, ...)).
 
@@ -50,7 +51,13 @@ def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
     Salimans & Ho 2022: v = alpha*eps - sigma*x0 — the
     distillation-friendly parameterization; requires the true-VP
     ``VPSchedule(kind="stable")`` since its inversion identities need
-    alpha^2 + sigma^2 = 1). Pair with ``samplers.ddim(..., predict=...)``."""
+    alpha^2 + sigma^2 = 1). Pair with ``samplers.ddim(..., predict=...)``.
+
+    ``snr_gamma`` enables min-SNR loss weighting (Hang et al. 2023,
+    gamma = 5 typical): per-sample weight min(SNR, gamma)/SNR for eps
+    targets (min(SNR, gamma) for x0, min(SNR, gamma)/(SNR + 1) for v),
+    SNR = alpha^2/sigma^2 — downweights the near-t=0 steps whose huge SNR
+    otherwise dominates the eps objective."""
     if predict not in ("eps", "x0", "v"):
         raise ValueError(f"predict must be 'eps', 'x0' or 'v', "
                          f"got {predict!r}")
@@ -88,7 +95,23 @@ def make_loss_fn(apply_fn: Callable[..., Array], schedule: Schedule,
             target = a * eps - s * x0
         else:
             target = x0 if predict == "x0" else eps
-        return jnp.mean((out - target) ** 2)
+        sq = (out - target) ** 2
+        if snr_gamma is None:
+            return jnp.mean(sq)
+        if discrete:
+            a_t = jnp.take(schedule.sqrt_alphas_cumprod, t)
+            s_t = jnp.take(schedule.sqrt_one_minus_alphas_cumprod, t)
+        else:
+            a_t, s_t = schedule.alpha(t), schedule.sigma(t)
+        snr = (a_t / jnp.maximum(s_t, 1e-8)) ** 2
+        if predict == "x0":
+            w = jnp.minimum(snr, snr_gamma)
+        elif predict == "v":
+            w = jnp.minimum(snr, snr_gamma) / (snr + 1.0)
+        else:
+            w = jnp.minimum(snr, snr_gamma) / jnp.maximum(snr, 1e-8)
+        per_sample = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+        return jnp.mean(w * per_sample)
 
     return loss_fn
 
@@ -112,7 +135,8 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
                      null_labels: Optional[Sequence[int]] = None,
                      time_first: bool = False,
                      ema_decay: Optional[float] = None,
-                     predict: str = "eps"):
+                     predict: str = "eps",
+                     snr_gamma: Optional[float] = None):
     """Jitted multi-step training chunk: ``length`` optimizer steps fused in
     one ``lax.scan``; batches gathered with ``jnp.take`` inside the program.
 
@@ -129,7 +153,7 @@ def make_train_chunk(apply_fn: Callable[..., Array], schedule: Schedule,
 
     loss_fn = make_loss_fn(apply_fn, schedule, uncond_prob=uncond_prob,
                            null_labels=null_labels, time_first=time_first,
-                           predict=predict)
+                           predict=predict, snr_gamma=snr_gamma)
 
     def step(params, opt_state, k, images, labels):
         n = images.shape[0]
@@ -189,7 +213,8 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                  time_first: bool = False,
                  steps_per_scan: int = 100,
                  ema_decay: Optional[float] = None,
-                 predict: str = "eps") -> Tuple[Params, Array]:
+                 predict: str = "eps",
+                 snr_gamma: Optional[float] = None) -> Tuple[Params, Array]:
     """Train one expert on a device-resident dataset. Returns (params, losses)
     — with ``ema_decay`` set, params are the EMA tree (the sampling-quality
     standard; the raw final tree is discarded).
@@ -205,7 +230,8 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     run_chunk = make_train_chunk(
         apply_fn, schedule, tx, batch_size=batch_size,
         uncond_prob=uncond_prob, null_labels=null_labels,
-        time_first=time_first, ema_decay=ema_decay, predict=predict)
+        time_first=time_first, ema_decay=ema_decay, predict=predict,
+        snr_gamma=snr_gamma)
     ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     all_losses = []
@@ -237,7 +263,9 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                            steps_per_scan: int = 100,
                            keep: int = 3,
                            ema_decay: Optional[float] = None,
-                           predict: str = "eps") -> Tuple[Params, Array]:
+                           predict: str = "eps",
+                           snr_gamma: Optional[float] = None
+                           ) -> Tuple[Params, Array]:
     """``train_expert`` with preemption recovery (SURVEY.md §5.3 — a NEW
     capability over the reference's save-only checkpoints).
 
@@ -262,7 +290,8 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     run_chunk = make_train_chunk(
         apply_fn, schedule, tx, batch_size=batch_size,
         uncond_prob=uncond_prob, null_labels=null_labels,
-        time_first=time_first, ema_decay=ema_decay, predict=predict)
+        time_first=time_first, ema_decay=ema_decay, predict=predict,
+        snr_gamma=snr_gamma)
     ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     state_like = {"params": params, "opt_state": opt_state,

@@ -67,6 +67,8 @@ class TrainConfig:
     predict: str = "eps"               # eps | x0 | v (x0: the reference's
                                        # cross-attn model, §7.5; v: Salimans
                                        # & Ho 2022, stable schedule only)
+    snr_gamma: float = 0.0             # 0 = off; 5.0 = min-SNR weighting
+                                       # (Hang et al. 2023)
     seed: int = 42
     sanity: bool = False               # the reference's fast-path flag
 

@@ -67,6 +67,7 @@ def main():
         labels=train_labels, steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
         predict=cfg.train.predict,
+        snr_gamma=cfg.train.snr_gamma or None,
         uncond_prob=cfg.train.uncond_prob,
         null_labels=tuple(cfg.model.num_classes) if cfg.train.uncond_prob else None,
         steps_per_scan=min(100, cfg.train.steps))

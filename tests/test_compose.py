@@ -99,6 +99,35 @@ def test_resolve_occlusion_disjoint_last_on_top():
     assert float(jnp.max(out[0] * out[1])) == 0.0
 
 
+def test_resolve_occlusion_golden_vs_reference_loop():
+    """Golden parity: compose.resolve_occlusion == the reference's own
+    top-down claim loop (composing_colored_digit_to_simulate_overlaying.py:
+    69-80, re-implemented verbatim in numpy) on random overlapping masks,
+    both binary (circular, the reference's create_circular_mask shape) and
+    soft-valued, K = 2..4."""
+    rng = np.random.default_rng(0)
+    for k in (2, 3, 4):
+        for soft in (False, True):
+            if soft:
+                masks_np = rng.uniform(0, 1, (k, 9, 9)).astype(np.float32)
+            else:
+                yy, xx = np.mgrid[:9, :9]
+                masks_np = np.stack([
+                    ((yy - rng.integers(2, 7)) ** 2
+                     + (xx - rng.integers(2, 7)) ** 2 <= 9).astype(np.float32)
+                    for _ in range(k)])
+            # the reference loop, verbatim semantics
+            final = [np.zeros_like(m) for m in masks_np]
+            occ = np.zeros_like(masks_np[0])
+            for i in range(k - 1, -1, -1):
+                unique = np.clip(masks_np[i] - occ, 0, 1)
+                final[i] = unique
+                occ += unique
+            ours = compose.resolve_occlusion(jnp.asarray(masks_np))
+            np.testing.assert_allclose(np.asarray(ours), np.stack(final),
+                                       atol=1e-6, err_msg=f"k={k} soft={soft}")
+
+
 def test_masked_sum():
     eps = jnp.stack([jnp.ones((1, 4, 4, 3)), -jnp.ones((1, 4, 4, 3))])
     masks = jnp.stack([jnp.ones((4, 4)).at[:, :2].set(0.0),

@@ -35,9 +35,12 @@ class TestShapesRasterizer:
         imgs, sl, cl = data.make_shapes_dataset(18, 32)
         assert imgs.shape == (18, 32, 32, 3)
         assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0
-        # all 9 combinations present exactly twice
-        combos = {(int(s), int(c)) for s, c in zip(sl, cl)}
-        assert len(combos) == 9
+        # all 9 combinations present EXACTLY twice (idx % 9 cycling — the
+        # class balance the composition evals rely on)
+        pairs = np.stack([np.asarray(sl), np.asarray(cl)], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        assert len(uniq) == 9
+        assert (counts == 2).all(), counts
 
     def test_holdout_excluded(self):
         _, sl, cl = data.make_shapes_dataset(80, 32, holdout=[(0, 0), (2, 1)])
@@ -99,8 +102,9 @@ class TestColoredMNIST:
         assert imgs.shape[-1] == 3
         np.testing.assert_array_equal(np.asarray(labels), np.asarray(cl))
         arr = np.asarray(imgs)
-        # digit 6 is red: green/blue channels stay at background (-1)
+        # digit 6 is red: green AND blue channels stay at background (-1)
         assert arr[..., 1].max() <= -0.99
+        assert arr[..., 2].max() <= -0.99
         assert arr[..., 0].max() > 0.5
 
     def test_div4_rule(self, key):

@@ -16,6 +16,20 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# NOTE: both reference dirs carry a schedule.py (byte-identical today);
+# plain `import schedule` would silently bind whichever dir sits first on
+# sys.path — load each compared module EXPLICITLY by path so the parity
+# claims stay attached to the documented files even if the copies diverge
+import importlib.util
+
+
+def _load_ref(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 sys.path.insert(0, "/root/reference/mnist")
 sys.path.insert(0, "/root/reference/shapes")
 
@@ -29,7 +43,8 @@ class TestContinuousScheduleParity:
     shapes/schedule_jax_faithful.py (sigma = t)."""
 
     def test_stable_schedule(self):
-        import schedule as ref  # mnist/schedule.py
+        ref = _load_ref("ref_mnist_schedule",
+                        "/root/reference/mnist/schedule.py")
         ours = VPSchedule(kind="stable")
         t_torch = torch.tensor(TS)
         np.testing.assert_allclose(np.asarray(ours.log_alpha(TS)),
@@ -43,7 +58,8 @@ class TestContinuousScheduleParity:
                                    rtol=1e-4, atol=1e-4)
 
     def test_stable_q_t_fixed_eps(self):
-        import schedule as ref
+        ref = _load_ref("ref_mnist_schedule",
+                        "/root/reference/mnist/schedule.py")
         ours = VPSchedule(kind="stable")
         rng = np.random.default_rng(0)
         x0 = rng.normal(size=(4, 1, 8, 8)).astype(np.float32)
@@ -58,7 +74,8 @@ class TestContinuousScheduleParity:
                                    ref_xt.numpy(), atol=1e-5)
 
     def test_jax_faithful_schedule(self):
-        import schedule_jax_faithful as ref
+        ref = _load_ref("ref_jax_faithful",
+                        "/root/reference/shapes/schedule_jax_faithful.py")
         ours = VPSchedule(kind="jax_faithful")
         t_torch = torch.tensor(TS)
         np.testing.assert_allclose(np.asarray(ours.sigma(TS)),
@@ -70,7 +87,8 @@ class TestContinuousScheduleParity:
         # its own derivation comment (sign flip) — see VPSchedule.g2.
 
     def test_stable_g2(self):
-        import schedule_2 as ref  # shapes/schedule_2.py
+        ref = _load_ref("ref_schedule_2",
+                        "/root/reference/shapes/schedule_2.py")
         ours = VPSchedule(kind="stable")
         t_torch = torch.tensor(TS)
         np.testing.assert_allclose(np.asarray(ours.g2(TS)),

@@ -169,9 +169,9 @@ def test_expert_stack_broadcast_label_when_b_equals_k(key):
 def test_grouped_heterogeneous_experts(key):
     g_model = UNet(in_channels=1, base_dim=4, channel_mults=(1, 2))
     c_model = UNet(in_channels=3, base_dim=4, channel_mults=(1, 2))
-    xg = jnp.zeros((2, 8, 8, 1))
-    xc = jnp.zeros((2, 8, 8, 3))
-    t = jnp.ones((2,))
+    xg = jnp.zeros((3, 8, 8, 1))
+    xc = jnp.zeros((3, 8, 8, 3))
+    t = jnp.ones((3,))
     gp = g_model.init(key, xg, t)
     cp = c_model.init(key, xc, t)
     gs = experts.ExpertStack(g_model.apply, [gp])
@@ -180,8 +180,15 @@ def test_grouped_heterogeneous_experts(key):
         [lambda x, tt: gs(x, tt), lambda x, tt: cs(x, tt)],
         adapters=[experts.rgb_to_gray, lambda x: x],
         lifts=[experts.gray_to_rgb, lambda e: e])
-    out = fn(jax.random.normal(key, (2, 8, 8, 3)), t)
-    assert out.shape == (2, 2, 8, 8, 3)
+    x_in = jax.random.normal(key, (3, 8, 8, 3))
+    out = fn(x_in, t)
+    # B=3 != K=2 so a transposed (B, K, ...) regression cannot pass
+    assert out.shape == (2, 3, 8, 8, 3)
+    # group 1 is the identity-adapted color expert: row 1 of the stack must
+    # equal its direct forward (pins stack ORDER, not just shape)
+    np.testing.assert_allclose(np.asarray(out[1]),
+                               np.asarray(c_model.apply(cp, x_in, t)),
+                               atol=1e-5)
 
 
 def test_rgb_gray_roundtrip_shapes(key):

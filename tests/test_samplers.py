@@ -344,8 +344,10 @@ def test_superdiff_and_solve_k3(key):
     sde = DDPMSchedule(num_timesteps=20)
 
     def eps_stack_fn(x, ti):
+        # time-varying experts so the per-step drift/score inner products in
+        # the KxK system actually change along the trajectory
         t = ti.astype(jnp.float32) / 20.0
-        return jnp.stack([x * 0.1, x * 0.2, -x * 0.1])
+        return jnp.stack([x * 0.1 * (1.0 + t), x * 0.2, -x * 0.1 * t])
 
     x0 = jax.random.normal(key, (8, 4))
     out = samplers.superdiff_and_solve(eps_stack_fn, sde, key, x0,

@@ -128,8 +128,10 @@ class TestKarrasSpacing:
         out = samplers.ddim(eps_fn, sch, x_init, 400, clip=None,
                             spacing="karras")
         assert abs(float(out.std()) - 1.0) < 0.1
+
+    def test_unknown_spacing_rejected(self):
         with pytest.raises(ValueError, match="spacing"):
-            sch.ddim_grid(10, spacing="edm")
+            VPSchedule().ddim_grid(10, spacing="edm")
 
 
 class TestVPJaxFaithful:

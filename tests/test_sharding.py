@@ -83,8 +83,10 @@ def test_expert_parallel_train_step(key):
 
 
 def test_expert_sharded_sampler(key):
-    """3-expert DDIM with the expert stack sharded over the 'expert' axis:
-    the blend point crosses the axis via an XLA collective."""
+    """4-expert DDIM with the expert stack sharded over the 'expert' axis
+    (one expert per axis slot): the blend point crosses the axis via an XLA
+    collective. (Uneven K < axis size is covered separately by
+    test_uneven_expert_count_pads_to_axis.)"""
     mesh = make_mesh({"expert": 4, "data": 2})
     model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
     x0 = jnp.zeros((1, 16, 16, 1))

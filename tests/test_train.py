@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from composable_diffusion_models_tpu import data, train
 from composable_diffusion_models_tpu.models import ScoreMLP, UNet
@@ -55,26 +56,33 @@ def test_one_step_denoise_val(key):
 
 
 def test_min_snr_weighting_formula(key):
-    """min-SNR-gamma (Hang et al. 2023): with a zero predictor and x0 = 0
-    the eps loss reduces to E[min(SNR,g)/SNR * |eps|^2]; at a fixed t the
-    weight is exactly min(SNR,g)/SNR, pinned here against the closed form.
-    High-SNR (small-t) samples must be DOWNWEIGHTED vs the unweighted loss."""
+    """min-SNR-gamma (Hang et al. 2023): the weighted loss of a zero
+    predictor is pinned EXACTLY against a reimplementation of the closed
+    form mean(min(SNR,g)/SNR * per-sample mean eps^2), replicating the loss
+    fn's own PRNG splits so t and eps match bitwise."""
     sch = VPSchedule()
+    gamma = 5.0
     x0 = jnp.zeros((64, 4, 4, 1))
     zero = lambda p, x, t: jnp.zeros_like(x)
-    # monkeypatch-free fixed-t check: weight ratio at t where SNR >> gamma
-    t = 0.05
-    snr = float(sch.alpha(t) ** 2 / sch.sigma(t) ** 2)
-    assert snr > 5.0  # the regime the weighting exists for
-    # E[loss] ratio across many keys approximates E[w]: weighted loss of a
-    # zero predictor = w * E[|eps|^2] = w (per-sample w depends on its t)
-    lw = train.make_loss_fn(zero, sch, snr_gamma=5.0)(None, key, x0)
+    lw = train.make_loss_fn(zero, sch, snr_gamma=gamma)(None, key, x0)
+
+    # replicate make_loss_fn's internal draws (split order is part of the
+    # bitwise-resume contract, so this is stable by design)
+    kt, ke, kd = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (64,), minval=1e-3, maxval=1.0)
+    _, eps = sch.q_t(ke, x0, t)
+    snr = (sch.alpha(t) / sch.sigma(t)) ** 2
+    w = jnp.minimum(snr, gamma) / snr
+    expected = jnp.mean(w * jnp.mean(eps.reshape(64, -1) ** 2, axis=1))
+    np.testing.assert_allclose(float(lw), float(expected), rtol=1e-5)
+
+    # the weighting must strictly downweight vs the unweighted loss (the
+    # high-SNR small-t region is the regime it exists for)
     lu = train.make_loss_fn(zero, sch)(None, key, x0)
-    assert float(lw) < float(lu)  # weighting strictly reduces the average
-    # validation still applies
+    assert float(lw) < float(lu)
     import pytest
     with pytest.raises(ValueError, match="predict"):
-        train.make_loss_fn(zero, sch, predict="nope", snr_gamma=5.0)
+        train.make_loss_fn(zero, sch, predict="nope", snr_gamma=gamma)
 
 
 def test_resume_bitwise_identical(key, tmp_path):
@@ -188,14 +196,24 @@ def test_resume_bitwise_identical_with_ema(key, tmp_path):
                     jax.tree_util.tree_leaves(ema_resumed)):
         assert jnp.array_equal(a, b), "EMA resume diverged from straight run"
 
-    # EMA is a trailing average, so it must differ from the raw params
-    ema_np, _ = train.train_expert(
+    # the resumable EMA must equal the NON-resumable train_expert EMA
+    # bitwise (same key, same chunking, same per-step ema_update order)
+    ema_te, _ = train.train_expert(
+        key, m.apply, p0, sch, x, steps=40, batch_size=32,
+        steps_per_scan=10, time_first=True, ema_decay=0.9)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_full),
+                    jax.tree_util.tree_leaves(ema_te)):
+        assert jnp.array_equal(a, b), \
+            "resumable EMA != train_expert EMA contract"
+
+    # and EMA is a trailing average, so it must differ from the raw params
+    raw_np, _ = train.train_expert(
         key, m.apply, p0, sch, x, steps=40, batch_size=32,
         steps_per_scan=10, time_first=True)
     assert any(
         not jnp.array_equal(a, b)
         for a, b in zip(jax.tree_util.tree_leaves(ema_full),
-                        jax.tree_util.tree_leaves(ema_np)))
+                        jax.tree_util.tree_leaves(raw_np)))
 
 
 def test_resume_with_ema_on_pre_ema_checkpoint_raises_actionably(key, tmp_path):

@@ -115,7 +115,8 @@ def main():
         ap.error("--op proj (projection substitution, compose.projected) "
                  "needs --factor0_grayscale --gray_norm so the factor-0 "
                  "expert estimates exactly P eps")
-    weight_grid_pre = json.loads(args.weight_grid)
+    weight_grid_pre = (json.loads(args.weight_grid) if args.weight_grid
+                       else [[args.w_shape, args.w_color]])
     if "avg" in args.op.split(",") and any(sum(w) == 0 for w in weight_grid_pre):
         ap.error("avg weights must not sum to 0 (compose.weighted divides "
                  "by sum(w); fail fast — expert training costs minutes)")
@@ -178,7 +179,8 @@ def main():
         schedule, f0_imgs, (held_s,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
         uncond_prob=args.uncond_prob, null_labels=(n_classes[0],),
-        ema_decay=cfg.train.ema_decay or None)
+        ema_decay=cfg.train.ema_decay or None,
+        snr_gamma=cfg.train.snr_gamma or None)
     print(f"  final loss {float(sl_losses[-1]):.4f}")
     print("training factor-1 expert (RGB | color) ...")
     cp, cl_losses = train.train_expert(
@@ -188,7 +190,8 @@ def main():
         schedule, held_imgs, (held_c,), steps=cfg.train.steps,
         batch_size=cfg.train.batch_size, lr=cfg.train.lr,
         uncond_prob=args.uncond_prob, null_labels=(n_classes[1],),
-        ema_decay=cfg.train.ema_decay or None)
+        ema_decay=cfg.train.ema_decay or None,
+        snr_gamma=cfg.train.snr_gamma or None)
     print(f"  final loss {float(cl_losses[-1]):.4f}")
 
     weight_grid = (json.loads(args.weight_grid) if args.weight_grid

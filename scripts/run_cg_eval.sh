@@ -21,4 +21,10 @@ python scripts/eval_composition.py --dataset colored_mnist \
     --op avg,cg --weight_grid "[[1,1],[3,1],[10,1],[30,1]]" \
     --holdout "[[7,2]]" --probe_steps 2000 --out outputs/cg_eval
 
+echo "=== min-SNR-trained experts A/B (same ops, snr_gamma=5, own out dir) ==="
+python scripts/eval_composition.py --train.steps=$STEPS \
+    --train.snr_gamma=5 --samples_per_combo 64 --n_steps 100 \
+    --op avg,cg --weight_grid "[[1,1],[10,1]]" --probe_steps 2000 \
+    --out outputs/cg_eval_snr
+
 echo "cg eval complete"

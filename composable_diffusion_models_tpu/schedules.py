@@ -244,10 +244,25 @@ class DDPMSchedule:
     num_timesteps: int = 1000
     beta_start: float = 1e-4
     beta_end: float = 0.02
+    beta_schedule: str = "linear"      # linear (reference parity) | cosine
+                                       # (Improved DDPM eq. 17, discrete,
+                                       # beta clipped at 0.999 — beyond-ref)
 
     # Tables are derived lazily (jnp arrays are not hashable dataclass fields).
     @property
     def betas(self) -> Array:
+        if self.beta_schedule == "cosine":
+            # Improved DDPM (Nichol & Dhariwal 2021): abar from the shifted
+            # cosine, beta_t = 1 - abar_t/abar_{t-1}, clipped at 0.999
+            s = 0.008
+            steps = jnp.arange(self.num_timesteps + 1, dtype=jnp.float32)
+            f = jnp.cos((steps / self.num_timesteps + s) / (1 + s)
+                        * jnp.pi / 2) ** 2
+            abar = f / f[0]
+            return jnp.clip(1.0 - abar[1:] / abar[:-1], 0.0, 0.999)
+        if self.beta_schedule != "linear":
+            raise ValueError(f"unknown beta_schedule {self.beta_schedule!r}; "
+                             "choose 'linear' or 'cosine'")
         return jnp.linspace(self.beta_start, self.beta_end, self.num_timesteps,
                             dtype=jnp.float32)
 

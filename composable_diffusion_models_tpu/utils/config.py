@@ -53,8 +53,9 @@ class DataConfig:
 @dataclasses.dataclass
 class ScheduleConfig:
     family: str = "vp"                 # vp | ddpm
-    kind: str = "stable"               # stable | jax_faithful (vp only)
+    kind: str = "stable"               # stable | jax_faithful | cosine (vp)
     num_timesteps: int = 1000          # ddpm only
+    beta_schedule: str = "linear"      # linear | cosine (ddpm only)
 
 
 @dataclasses.dataclass

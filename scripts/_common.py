@@ -25,7 +25,8 @@ from composable_diffusion_models_tpu.utils.config import Config
 
 def build_schedule(cfg: Config):
     if cfg.schedule.family == "ddpm":
-        return DDPMSchedule(num_timesteps=cfg.schedule.num_timesteps)
+        return DDPMSchedule(num_timesteps=cfg.schedule.num_timesteps,
+                            beta_schedule=cfg.schedule.beta_schedule)
     return VPSchedule(kind=cfg.schedule.kind)
 
 

@@ -214,6 +214,26 @@ class TestDDPM:
         assert abs(float(f_c) + 0.5 * float(self.sde.betas[7])) < 1e-8
         assert abs(float(g2) - float(self.sde.betas[7])) < 1e-8
 
+    def test_discrete_cosine_schedule(self):
+        """Improved DDPM eq. 17 discrete cosine betas (beyond-ref):
+        abar follows the shifted-cosine closed form exactly (up to the
+        0.999 beta clip near T) and betas stay in (0, 0.999]."""
+        T = 200
+        sde = DDPMSchedule(num_timesteps=T, beta_schedule="cosine")
+        b = np.asarray(sde.betas)
+        assert (b > 0).all() and (b <= 0.999).all()
+        assert b[-1] > b[0]  # monotone-increasing noise rate overall
+        s = 0.008
+        steps = np.arange(T + 1, dtype=np.float64)
+        f = np.cos((steps / T + s) / (1 + s) * np.pi / 2) ** 2
+        expected_abar = (f / f[0])[1:]
+        # the clip only bites at the very end; compare the unclipped region
+        got = np.asarray(sde.alphas_cumprod)
+        np.testing.assert_allclose(got[:-5], expected_abar[:-5],
+                                   rtol=1e-4, atol=1e-6)
+        with pytest.raises(ValueError, match="beta_schedule"):
+            DDPMSchedule(beta_schedule="quad").betas
+
 
 def test_ddim_table_grid():
     sch = VPSchedule()

@@ -715,3 +715,99 @@ def parallel_prob_flow(score_fn: EpsFn, schedule: VPSchedule, x_init: Array,
     (_, x_final), residuals = jax.lax.scan(
         body, (traj0, x_init), None, length=n_iters)
     return x_final, residuals
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: exact log-likelihood via the probability-flow ODE
+# ---------------------------------------------------------------------------
+def log_likelihood(score_fn: EpsFn, schedule: VPSchedule, x_data: Array,
+                   n_steps: int, key: Optional[Array] = None,
+                   probe: str = "rademacher", n_probes: int = 1,
+                   exact: bool = False, t_min: float = 1e-3,
+                   t_max: float = 1.0) -> Tuple[Array, Array]:
+    """Per-example log p(x) in nats under a score model (+ terminal latent).
+
+    Integrates the probability-flow ODE FORWARD in time (data -> noise) with
+    the instantaneous change-of-variables formula (FFJORD / Song et al. 2021
+    eq. 33): for dx/dt = f(x, t),  d log p(x(t))/dt = -div f,  so
+
+        log p(x) = log N(x(t_max); 0, v I) + int_{t_min}^{t_max} div f dt,
+
+    with the terminal prior variance v = alpha(t_max)^2 + sigma(t_max)^2
+    (exact for unit-variance data; =1 for the stable VP schedule where
+    alpha(1) ~ 6.6e-3). This generalizes the reference's per-expert running
+    d log q inside the SUPERDIFF sampler (src/diffusion/samplers.py:50-57) —
+    which only ever produces *relative* densities along a reverse trajectory —
+    into a standalone evaluator of data likelihood, a capability the
+    reference does not have (it publishes no NLL/bits-per-dim numbers).
+
+    Divergence: Hutchinson jvp probes (``probe``/``n_probes``; key required)
+    or the exact Jacobian trace with ``exact=True`` (tiny dims only — cost is
+    D forwards per step). ``score_fn`` returns the TRUE score (adapt eps
+    models via score = -eps_hat / sigma, same convention as prob_flow_ode).
+    The whole trajectory is one ``lax.scan``: jit-safe, zero host sync.
+    """
+    if not exact and key is None:
+        raise ValueError("log_likelihood needs a PRNG key unless exact=True")
+    dt = (t_max - t_min) / n_steps
+    ts = t_min + dt * jnp.arange(n_steps)  # ascending: data -> noise
+    table = jnp.stack(
+        [ts, schedule.dlog_alpha_dt(ts), schedule.g2(ts)], axis=1)
+    axes = tuple(range(1, x_data.ndim))
+    dim = math.prod(x_data.shape[1:])
+    carry_key = key if key is not None else jax.random.PRNGKey(0)
+
+    def body(carry, row):
+        x, delta, k = carry
+        t, dloga, g2 = row[0], row[1], row[2]
+
+        def f(xx):
+            return dloga * xx - 0.5 * g2 * score_fn(xx, t)
+
+        if exact:
+            flat = x.reshape(x.shape[0], -1)
+
+            def f_flat(xf):
+                return f(xf.reshape(x.shape)).reshape(x.shape[0], -1)
+
+            fx_flat, div = _exact_div(f_flat, flat)
+            fx = fx_flat.reshape(x.shape)
+        else:
+            k = jax.random.fold_in(k, 0)
+            fx, div = value_and_div(f, x, k, probe=probe, n_probes=n_probes)
+        return (x + fx * dt, delta + div * dt, k), None
+
+    zero = jnp.zeros((x_data.shape[0],), jnp.float32)
+    (x_T, delta, _), _ = jax.lax.scan(
+        body, (x_data, zero, carry_key), table)
+    prior_var = (schedule.alpha(jnp.asarray(t_max)) ** 2
+                 + schedule.sigma(jnp.asarray(t_max)) ** 2)
+    log_prior = (-0.5 * jnp.sum(x_T * x_T, axis=axes) / prior_var
+                 - 0.5 * dim * jnp.log(2.0 * math.pi * prior_var))
+    return log_prior + delta, x_T
+
+
+def _exact_div(f_flat, flat):
+    """Exact divergence of a flat (B, D) -> (B, D) map — scan-body safe."""
+    d = flat.shape[1]
+
+    def one_dim(i):
+        e = jnp.zeros_like(flat).at[:, i].set(1.0)
+        _, jvp_val = jax.jvp(f_flat, (flat,), (e,))
+        return jvp_val[:, i]
+
+    traces = jax.vmap(one_dim)(jnp.arange(d))  # (D, B)
+    return f_flat(flat), jnp.sum(traces, axis=0)
+
+
+def bits_per_dim(log_p: Array, data_shape: Sequence[int],
+                 nbins: int = 256) -> Array:
+    """Convert log p(x) in nats (data scaled to [-1, 1]) to bits/dim.
+
+    Standard uniform-dequantization convention: discrete pixels v in
+    {0..nbins-1} map to x = (v + u)/ (nbins/2) - 1, bin width 2/nbins, so
+    log2 P(v) = log2 p(x) - D log2(nbins/2) and
+    bpd = -log2 P(v)/D = -log_p/(D ln 2) + log2(nbins/2).
+    """
+    dim = math.prod(data_shape)
+    return -log_p / (dim * math.log(2.0)) + math.log2(nbins / 2.0)

@@ -3,6 +3,7 @@
 /root/reference/mnist/sample_latent.py — E-M in 2D, then z W + mu decode)."""
 
 import argparse
+import os
 import json
 
 import jax
@@ -20,13 +21,16 @@ from composable_diffusion_models_tpu.utils.viz import save_grid, scatter2d
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="mnist_latent2d")
-    ap.add_argument("--pca", default="outputs/pca")
+    ap.add_argument("--pca", default=None,
+                    help="PCA prefix (default: <out>/pca)")
     ap.add_argument("--experts", default='["latent_expert"]')
     ap.add_argument("--weights", default=None)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    if args.pca is None:
+        args.pca = os.path.join(args.out, "pca")
     apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)

@@ -23,12 +23,15 @@ from composable_diffusion_models_tpu.utils.viz import plot_loss, scatter2d
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="mnist_latent2d")
-    ap.add_argument("--pca", default="outputs/pca")
+    ap.add_argument("--pca", default=None,
+                    help="PCA prefix (default: <out>/pca)")
     ap.add_argument("--classes", default=None)
     ap.add_argument("--name", default="latent_expert")
     ap.add_argument("--out", default="outputs")
     add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    if args.pca is None:
+        args.pca = os.path.join(args.out, "pca")
     apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)

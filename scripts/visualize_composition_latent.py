@@ -23,7 +23,8 @@ from composable_diffusion_models_tpu.utils import get_config
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="mnist_latent2d")
-    ap.add_argument("--pca", default="outputs/pca")
+    ap.add_argument("--pca", default=None,
+                    help="PCA prefix (default: <out>/pca)")
     ap.add_argument("--experts", default='["latent_expert"]')
     ap.add_argument("--n_steps", type=int, default=500)
     ap.add_argument("--mode", default="sum", choices=["sum", "ito", "avg"],
@@ -37,6 +38,8 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
+    if args.pca is None:
+        args.pca = os.path.join(args.out, "pca")
     apply_runtime_flags(args)
 
     cfg = get_config(args.preset, overrides)

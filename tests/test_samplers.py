@@ -395,3 +395,62 @@ class TestParallelPicard:
                                                  n_iters=25)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-2)
+
+
+class TestLogLikelihood:
+    """Prob-flow ODE likelihood vs an analytic Gaussian (beyond-reference).
+
+    For x0 ~ N(mu, s^2 I) the time-t marginal is N(alpha mu, alpha^2 s^2 +
+    sigma^2) with a closed-form score, so log_likelihood must recover the
+    analytic log-density at t_min up to O(dt) discretization error."""
+
+    MU = jnp.array([0.5, -0.3])
+    S = 1.3
+
+    def _score_fn(self, x, t):
+        var = SCH.alpha(t) ** 2 * self.S ** 2 + SCH.sigma(t) ** 2
+        return -(x - SCH.alpha(t) * self.MU) / var
+
+    def _analytic(self, x, t):
+        a, sg = SCH.alpha(jnp.asarray(t)), SCH.sigma(jnp.asarray(t))
+        var = a ** 2 * self.S ** 2 + sg ** 2
+        d = x - a * self.MU
+        return (-0.5 * jnp.sum(d * d, axis=-1) / var
+                - jnp.log(2 * jnp.pi * var))
+
+    def test_exact_divergence_matches_analytic_density(self, key):
+        x = self.MU + self.S * jax.random.normal(key, (8, 2))
+        ll, x_T = samplers.log_likelihood(self._score_fn, SCH, x, 400,
+                                          exact=True)
+        np.testing.assert_allclose(np.asarray(ll),
+                                   np.asarray(self._analytic(x, 1e-3)),
+                                   atol=2e-2)
+        # terminal latent has marched to the (whitened) prior scale
+        assert abs(float(x_T.std()) - 1.0) < 0.35
+
+    def test_rademacher_hutchinson_is_exact_for_isotropic_jacobian(self, key):
+        """The Gaussian score's Jacobian is c(t) I, so v^T J v = c * D exactly
+        for Rademacher probes — the estimator must agree with exact mode to
+        float tolerance, pinning the probe/jvp plumbing inside the scan."""
+        x = self.MU + self.S * jax.random.normal(key, (4, 2))
+        ll_e, _ = samplers.log_likelihood(self._score_fn, SCH, x, 100,
+                                          exact=True)
+        ll_h, _ = samplers.log_likelihood(self._score_fn, SCH, x, 100,
+                                          key=jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(ll_h), np.asarray(ll_e),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_requires_key_unless_exact(self, key):
+        x = jax.random.normal(key, (2, 2))
+        with pytest.raises(ValueError, match="PRNG key"):
+            samplers.log_likelihood(self._score_fn, SCH, x, 10)
+
+    def test_bits_per_dim_convention(self):
+        # log_p = 0 nats => bpd = log2(nbins/2) exactly; shape-dim scaling
+        bpd = samplers.bits_per_dim(jnp.zeros((3,)), (28, 28, 1))
+        np.testing.assert_allclose(np.asarray(bpd), np.log2(128.0))
+        # one nat over D dims shifts bpd by -1/(D ln 2)
+        bpd1 = samplers.bits_per_dim(jnp.ones((1,)), (2,))
+        np.testing.assert_allclose(float(bpd1[0]),
+                                   np.log2(128.0) - 1 / (2 * np.log(2)),
+                                   rtol=1e-6)

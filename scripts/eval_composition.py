@@ -65,10 +65,13 @@ def main():
                          "mean of the experts' null-token outputs, "
                          "reference op-5, _5.py:313-325), proj/proj_cfg "
                          "(projection substitution, compose.projected — "
-                         "needs --factor0_grayscale --gray_norm), and/or "
+                         "needs --factor0_grayscale --gray_norm), "
                          "cg (equal-weight avg steered by a VP-noised "
                          "holdout-filtered guidance probe at scale w[0] — "
-                         "beyond-reference classifier guidance)")
+                         "beyond-reference classifier guidance), and/or "
+                         "proj_cg (projection substitution at strength w[0] "
+                         "PLUS probe guidance at scale w[1] — stacks the two "
+                         "measured-best held-out levers)")
     ap.add_argument("--factor0_grayscale", action="store_true",
                     help="train the factor-0 (shape/digit) expert on the "
                          "GRAYSCALE projection of the data — the reference's "
@@ -102,7 +105,7 @@ def main():
         args.probe_steps = 200
         args.samples_per_combo = 8
         args.n_steps = min(args.n_steps, 20)
-    known_ops = ("avg", "ito", "cfg", "proj", "proj_cfg", "cg")
+    known_ops = ("avg", "ito", "cfg", "proj", "proj_cfg", "cg", "proj_cg")
     bad = [o for o in args.op.split(",") if o not in known_ops]
     if bad:
         ap.error(f"unknown --op {bad}; choose from {known_ops} "
@@ -110,7 +113,7 @@ def main():
     if args.uncond_prob == 0.0 and {"cfg", "proj_cfg"} & set(args.op.split(",")):
         ap.error("--op cfg/proj_cfg needs --uncond_prob > 0 (null-token "
                  "training; otherwise the null embedding row is random init)")
-    if ({"proj", "proj_cfg"} & set(args.op.split(","))
+    if ({"proj", "proj_cfg", "proj_cg"} & set(args.op.split(","))
             and not (args.factor0_grayscale and args.gray_norm)):
         ap.error("--op proj (projection substitution, compose.projected) "
                  "needs --factor0_grayscale --gray_norm so the factor-0 "
@@ -202,7 +205,7 @@ def main():
     null_c = jnp.full((bs,), n_classes[1], jnp.int32)
 
     gprobe = gprobe_params = None
-    if "cg" in args.op.split(","):
+    if {"cg", "proj_cg"} & set(args.op.split(",")):
         # classifier-guidance probe: trained on the SAME holdout-filtered
         # data the experts see (no leakage of held-out combos — unlike the
         # eval probe above, which must know them to score them), VP-noised
@@ -253,6 +256,15 @@ def main():
                 jax.random.fold_in(k, 1), x_init, args.n_steps)
 
         def eps_fn(x, t):
+            if op == "proj_cg":
+                # projection substitution at strength weights[0]; the probe
+                # guidance wrapper below adds grad log p(y|x_t) at scale
+                # weights[1] — the color-blind consistent-noise composition
+                # plus an explicit pull toward the (held-out) label pair
+                e_c = color_model.apply(cp, x, t, cl)
+                e_s = shape_model.apply(
+                    sp, rgb_to_gray(x, normalized=True), t, sl)
+                return compose.projected(e_c, e_s, weights[0])
             if op == "proj":
                 # projection substitution (compose.projected): the gray
                 # expert replaces exactly the luma noise component; the
@@ -294,14 +306,15 @@ def main():
                     jnp.stack([e_shape, e_color]), jnp.ones((2,)))
             return compose.weighted(jnp.stack([e_shape, e_color]), weights)
 
-        if op == "cg":
+        if op in ("cg", "proj_cg"):
             def logp_fn(x, t):
                 lg_s, lg_c = gprobe.apply(gprobe_params, x)
                 rows = jnp.arange(bs)
                 return (jax.nn.log_softmax(lg_s, axis=-1)[rows, sl]
                         + jax.nn.log_softmax(lg_c, axis=-1)[rows, cl])
             eps_fn = samplers.make_classifier_guided_eps_fn(
-                eps_fn, schedule, logp_fn, scale=weights[0])
+                eps_fn, schedule, logp_fn,
+                scale=weights[0] if op == "cg" else weights[1])
 
         x_init = jax.random.normal(k, (bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)

@@ -107,7 +107,8 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
          clip_min_alpha: float = 0.3,
          t_max: float = 1.0, t_min: float = 1e-3,
          eta: float = 0.0, key: Optional[Array] = None,
-         predict: str = "eps", spacing: str = "linear") -> Array:
+         predict: str = "eps", spacing: str = "linear",
+         corrector_steps: int = 0, corrector_snr: float = 0.16) -> Array:
     """DDIM update (parity: /root/reference/shapes/compose_images_ddim.py:21-70):
 
       x0_pred = (x - sigma_now * eps) / alpha_now, clamped
@@ -138,6 +139,18 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     2022): x0 = alpha*x - sigma*v and eps = sigma*x + alpha*v — identities
     valid only for the true-VP schedule (alpha^2 + sigma^2 = 1), enforced
     here. Train such models with make_loss_fn(..., predict=...).
+
+    ``corrector_steps`` > 0 turns this into a predictor-corrector sampler
+    (Song et al. 2021 alg. 4, beyond-reference): after each DDIM predictor
+    update, that many annealed-Langevin (ULA) steps run at the new noise
+    level,  x += e * score + sqrt(2 e) z,  with the signal-to-noise step
+    size  e = 2 (r ||z|| / ||score||)^2  (r = ``corrector_snr``; batch-mean
+    norms). MCMC at each level re-equilibrates the iterate toward the
+    CURRENT composed density — the known fix for composed score fields that
+    are not exact gradients (Du et al. 2023, "Reduce, Reuse, Recycle": plain
+    reverse diffusion samples the wrong distribution for products of
+    experts; Langevin corrections sample the intended one). ``key`` is
+    required; the corrector composes with eta, predict, and spacing.
     """
     if predict not in ("eps", "x0", "v"):
         raise ValueError(f"predict must be 'eps', 'x0' or 'v', "
@@ -152,9 +165,34 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     ts = grid[:-1]
     if eta > 0.0 and key is None:
         raise ValueError("stochastic DDIM (eta > 0) needs a PRNG key")
+    if corrector_steps > 0 and key is None:
+        raise ValueError("the Langevin corrector needs a PRNG key")
+
+    def to_eps(out, x, a, s):
+        if predict == "x0":
+            return (x - a * out) / jnp.maximum(s, 1e-12)
+        if predict == "v":
+            return s * x + a * out
+        return out
+
+    def langevin(x, t_next, a_next, s_next, i):
+        # ULA at the post-predictor noise level; snr-scaled step size
+        # (Song et al. 2021 alg. 4 with alpha ~ 1). Unrolled: small static k.
+        red = tuple(range(1, x.ndim))
+        for j in range(corrector_steps):
+            eps_hat = to_eps(eps_fn(x, t_next), x, a_next, s_next)
+            score = -eps_hat / jnp.maximum(s_next, 1e-12)
+            z = jax.random.normal(
+                jax.random.fold_in(key, n_steps + 1 + i * corrector_steps + j),
+                x.shape, x.dtype)
+            g_norm = jnp.mean(jnp.sqrt(jnp.sum(score**2, axis=red)))
+            z_norm = jnp.mean(jnp.sqrt(jnp.sum(z**2, axis=red)))
+            e = 2.0 * (corrector_snr * z_norm / jnp.maximum(g_norm, 1e-20))**2
+            x = x + e * score + jnp.sqrt(2.0 * e) * z
+        return x
 
     def body(x, row_t):
-        row, t, i = row_t
+        row, t, t_nxt, i = row_t
         a_now, s_now, a_next, s_next = row[0], row[1], row[2], row[3]
         out = eps_fn(x, t)
         if predict == "x0":
@@ -177,10 +215,15 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
             eps_coef = jnp.sqrt(jnp.clip(s_next**2 - sig**2, 0.0))
             noise = jax.random.normal(jax.random.fold_in(key, i), x.shape,
                                       x.dtype)
-            return a_next * x0 + eps_coef * eps_hat + sig * noise, None
-        return a_next * x0 + s_next * eps_hat, None
+            x_new = a_next * x0 + eps_coef * eps_hat + sig * noise
+        else:
+            x_new = a_next * x0 + s_next * eps_hat
+        if corrector_steps > 0:
+            x_new = langevin(x_new, t_nxt, a_next, s_next, i)
+        return x_new, None
 
-    x, _ = jax.lax.scan(body, x_init, (table, ts, jnp.arange(n_steps)))
+    x, _ = jax.lax.scan(body, x_init,
+                        (table, ts, grid[1:], jnp.arange(n_steps)))
     return x
 
 

@@ -86,6 +86,16 @@ def main():
                          "the RGB diffusion state is then an EXACT diffusion "
                          "state (plain luma understates the noise level by "
                          "0.67x; see experts.rgb_to_gray)")
+    ap.add_argument("--corrector_steps", type=int, default=0,
+                    help="Langevin (ULA) corrector steps per DDIM level — "
+                         "predictor-corrector sampling re-equilibrates "
+                         "toward the composed density at every noise level "
+                         "(Du et al. 2023: composed score fields are not "
+                         "exact gradients; MCMC samples the intended "
+                         "product). Applies to every eps-closure operator "
+                         "(not ito, which is its own ODE).")
+    ap.add_argument("--corrector_snr", type=float, default=0.16,
+                    help="signal-to-noise step-size ratio for the corrector")
     ap.add_argument("--uncond_prob", type=float, default=0.1,
                     help="CFG label-dropout rate for expert training; 0 "
                          "trains plain conditional experts (the measured "
@@ -317,7 +327,10 @@ def main():
                 scale=weights[0] if op == "cg" else weights[1])
 
         x_init = jax.random.normal(k, (bs, size, size, 3))
-        return samplers.ddim(eps_fn, schedule, x_init, args.n_steps)
+        return samplers.ddim(eps_fn, schedule, x_init, args.n_steps,
+                             key=jax.random.fold_in(k, 999),
+                             corrector_steps=args.corrector_steps,
+                             corrector_snr=args.corrector_snr)
 
     from composable_diffusion_models_tpu.utils.viz import save_grid
     full_report = {"holdout": [list(h) for h in holdout],

@@ -23,6 +23,10 @@ def main():
                     choices=[None, "em", "ddim", "ode", "dpmpp", "picard"])
     ap.add_argument("--eta", type=float, default=0.0,
                     help="stochastic-DDIM noise level (0 = deterministic)")
+    ap.add_argument("--corrector_steps", type=int, default=0,
+                    help="Langevin corrector steps per DDIM level "
+                         "(predictor-corrector, Song et al. 2021 alg. 4)")
+    ap.add_argument("--corrector_snr", type=float, default=0.16)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -72,8 +76,11 @@ def main():
     else:
         out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps,
                             eta=args.eta,
-                            key=jax.random.fold_in(key, 1) if args.eta else None,
-                            predict=cfg.train.predict)
+                            key=(jax.random.fold_in(key, 1)
+                                 if args.eta or args.corrector_steps else None),
+                            predict=cfg.train.predict,
+                            corrector_steps=args.corrector_steps,
+                            corrector_snr=args.corrector_snr)
 
     path = save_grid(out, f"{mgr.results_dir}/{args.name}_samples.png")
     print(f"samples saved to {path}")

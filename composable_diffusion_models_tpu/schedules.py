@@ -35,6 +35,7 @@ Array = jax.Array
 _STABLE = "stable"
 _JAX_FAITHFUL = "jax_faithful"
 _COSINE = "cosine"
+_RECTIFIED = "rectified"
 # cosine shift (Improved DDPM, Nichol & Dhariwal 2021 eq. 17) and the phase
 # clamp that replaces the paper's discrete beta_t <= 0.999 clip: alpha at
 # t=1 floors at sin(0.02) ~ 0.02 instead of hitting cos(pi/2) = 0 exactly
@@ -53,6 +54,20 @@ class VPSchedule:
                              true VP (beyond-reference: Improved DDPM eq. 17;
                              phase clamped so alpha(1) > 0 — the continuous
                              analog of the paper's beta <= 0.999 clip)
+    ``kind="rectified"``:    alpha(t) = 1 - t, sigma(t) = t — the rectified-
+                             flow / flow-matching linear interpolant (Liu et
+                             al. 2022, Lipman et al. 2022; beyond-reference).
+                             Every consumer (q_t DSM training, ddim, E-M,
+                             prob-flow ODE, log_likelihood) is written
+                             against alpha/sigma/dlog_alpha_dt/g2, so the
+                             whole sampler/composition stack works on this
+                             interpolant unchanged; the deterministic DDIM
+                             update IS the straight-line rectified-flow step.
+                             g^2(t) = 2t/(1-t) diverges at t=1 (alpha -> 0):
+                             the grid/table builders clamp t_max to 0.999
+                             under this kind so samplers' default t_max=1.0
+                             stays finite; log_likelihood callers should
+                             pass t_max <= 0.99 themselves.
     """
 
     beta_0: float = 0.1
@@ -61,7 +76,7 @@ class VPSchedule:
     eps: float = 1e-9
 
     def __post_init__(self):
-        if self.kind not in (_STABLE, _JAX_FAITHFUL, _COSINE):
+        if self.kind not in (_STABLE, _JAX_FAITHFUL, _COSINE, _RECTIFIED):
             raise ValueError(f"unknown schedule kind: {self.kind!r}")
 
     # --- signal rate -----------------------------------------------------
@@ -73,6 +88,8 @@ class VPSchedule:
         if self.kind == _COSINE:
             u = jnp.minimum(self._cos_u(t), _COS_U_MAX)
             return jnp.log(jnp.cos(u)) - jnp.log(jnp.cos(self._cos_u(0.0)))
+        if self.kind == _RECTIFIED:
+            return jnp.log(1.0 - t + self.eps)
         return -0.5 * t * self.beta_0 - 0.25 * t**2 * (self.beta_1 - self.beta_0)
 
     def alpha(self, t: Array) -> Array:
@@ -87,17 +104,20 @@ class VPSchedule:
             # autodiff through the jnp.minimum in log_alpha)
             return jnp.where(u_raw < _COS_U_MAX,
                              -(jnp.pi / 2) / (1.0 + _COS_S) * jnp.tan(u), 0.0)
+        if self.kind == _RECTIFIED:
+            return -1.0 / (1.0 - t + self.eps)
         return -0.5 * self.beta_0 - 0.5 * t * (self.beta_1 - self.beta_0)
 
     # --- noise rate ------------------------------------------------------
     def log_sigma(self, t: Array) -> Array:
         t = jnp.asarray(t, jnp.float32)
-        if self.kind != _JAX_FAITHFUL:  # true-VP kinds: sigma^2 = 1 - alpha^2
-            return 0.5 * jnp.log(1.0 - jnp.exp(2.0 * self.log_alpha(t)) + self.eps)
-        return jnp.log(t + self.eps)
+        if self.kind in (_JAX_FAITHFUL, _RECTIFIED):  # sigma(t) = t kinds
+            return jnp.log(t + self.eps)
+        # true-VP kinds: sigma^2 = 1 - alpha^2
+        return 0.5 * jnp.log(1.0 - jnp.exp(2.0 * self.log_alpha(t)) + self.eps)
 
     def sigma(self, t: Array) -> Array:
-        if self.kind == _JAX_FAITHFUL:
+        if self.kind in (_JAX_FAITHFUL, _RECTIFIED):
             # avoid the exp(log(t)) fp32 round-trip: sigma(t) = t exactly
             return jnp.asarray(t, jnp.float32) + self.eps
         return jnp.exp(self.log_sigma(t))
@@ -129,6 +149,10 @@ class VPSchedule:
         (superposition_edu.py:122-126) IS the probability-flow ODE.
         """
         t = jnp.asarray(t, jnp.float32)
+        if self.kind == _RECTIFIED:
+            # variance ODE with sigma = t, dlog_alpha = -1/(1-t):
+            # g^2 = 2t - 2 dloga t^2 = 2t/(1-t)
+            return 2.0 * t / (1.0 - t + self.eps)
         if self.kind != _JAX_FAITHFUL:  # generic for any true-VP kind
             return -2.0 * self.dlog_alpha_dt(t)
         s = self.sigma(t)
@@ -154,7 +178,7 @@ class VPSchedule:
         """Closed-form inverse of sigma(t), per kind (used by the Karras
         timestep spacing). Clipped to [0, 1]."""
         sigma = jnp.asarray(sigma, jnp.float32)
-        if self.kind == _JAX_FAITHFUL:
+        if self.kind in (_JAX_FAITHFUL, _RECTIFIED):
             return jnp.clip(sigma, 0.0, 1.0)
         la = 0.5 * jnp.log(jnp.clip(1.0 - sigma**2, 1e-12, 1.0))
         if self.kind == _COSINE:
@@ -181,6 +205,7 @@ class VPSchedule:
         steps at low noise where few-step DDIM loses the most quality),
         mapped back through the closed-form ``t_of_sigma``.
         """
+        t_max = self._clamp_t_max(t_max)
         if spacing == "linear":
             return jnp.linspace(t_max, t_min, n_steps + 1)
         if spacing != "karras":
@@ -191,6 +216,13 @@ class VPSchedule:
         sig = (s_max ** (1 / rho)
                + r * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
         return self.t_of_sigma(sig)
+
+    def _clamp_t_max(self, t_max: float) -> float:
+        """Rectified-flow alpha hits 0 (and g^2 diverges) at t=1: cap the
+        sampler grids at 0.999 so the default t_max=1.0 stays finite."""
+        if self.kind == _RECTIFIED:
+            return min(t_max, 1.0 - 1e-3)
+        return t_max
 
     # --- precomputed tables for scan-based samplers ------------------------
     def ddim_table(self, n_steps: int, t_max: float = 1.0, t_min: float = 1e-3,
@@ -207,6 +239,7 @@ class VPSchedule:
         The reference steps t from t_max down by dt = (t_max - t_min)/n_steps
         (/root/reference/mnist/compose_scores.py:27-46).
         """
+        t_max = self._clamp_t_max(t_max)
         dt = (t_max - t_min) / n_steps
         ts = t_max - dt * jnp.arange(n_steps)
         return jnp.stack(
@@ -215,6 +248,7 @@ class VPSchedule:
 
     def ode_table(self, n_steps: int, t_max: float = 1.0, t_min: float = 1e-3):
         """(n_steps, 5) rows (t, dlog_alpha_dt, g2, sigma, dt) for prob-flow ODE."""
+        t_max = self._clamp_t_max(t_max)
         dt = (t_max - t_min) / n_steps
         ts = t_max - dt * jnp.arange(n_steps)
         return jnp.stack(

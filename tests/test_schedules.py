@@ -244,3 +244,92 @@ def test_ddim_table_grid():
                                np.asarray(sch.alpha(ts[:-1])), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(tbl[:, 3]),
                                np.asarray(sch.sigma(ts[1:])), rtol=1e-6)
+
+
+class TestVPRectified:
+    """kind="rectified": the flow-matching linear interpolant
+    x_t = (1-t) x0 + t eps (Liu et al. 2022 / Lipman et al. 2022,
+    beyond-reference). The bundle must satisfy the same internal identities
+    as the VP kinds so every downstream consumer (ddim, E-M, prob-flow ODE,
+    log_likelihood) works on it unchanged."""
+
+    sch = VPSchedule(kind="rectified")
+    T = jnp.linspace(1e-3, 0.99, 64)  # g2 diverges at t=1 by design
+
+    def test_linear_interpolant(self):
+        np.testing.assert_allclose(np.asarray(self.sch.alpha(self.T)),
+                                   np.asarray(1.0 - self.T), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(self.sch.sigma(self.T)),
+                                   np.asarray(self.T), atol=1e-5)
+
+    def test_dlog_alpha_matches_autodiff(self):
+        g = jax.vmap(jax.grad(lambda t: self.sch.log_alpha(t)))(self.T)
+        err = jnp.abs(g - self.sch.dlog_alpha_dt(self.T))
+        # relative: dloga itself reaches -100 near t=0.99
+        assert float(jnp.max(err / jnp.abs(g))) < 1e-4
+
+    def test_g2_satisfies_variance_ode(self):
+        # d(sigma^2)/dt = 2 dloga sigma^2 + g^2, with autodiff d(sigma^2)/dt
+        dvar = jax.vmap(jax.grad(lambda t: self.sch.sigma(t) ** 2))(self.T)
+        rhs = (2.0 * self.sch.dlog_alpha_dt(self.T) * self.sch.sigma(self.T) ** 2
+               + self.sch.g2(self.T))
+        np.testing.assert_allclose(np.asarray(dvar), np.asarray(rhs),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_t_of_sigma_inverts(self):
+        np.testing.assert_allclose(
+            np.asarray(self.sch.t_of_sigma(self.sch.sigma(self.T))),
+            np.asarray(self.T), atol=1e-5)
+
+    def test_ddim_preserves_standard_normal(self, key):
+        """The deterministic DDIM update is the straight-line rectified-flow
+        step; with the optimal Gaussian closure eps = s x / (a^2 + s^2) it
+        must carry N(0, a^2+s^2) at t_max to N(0, 1) at t_min."""
+        from composable_diffusion_models_tpu import samplers
+        sch = self.sch
+        t_max = 0.999
+
+        def eps_fn(x, t):
+            a, s = sch.alpha(t), sch.sigma(t)
+            return s * x / (a**2 + s**2)
+
+        var0 = float(sch.alpha(t_max) ** 2 + sch.sigma(t_max) ** 2)
+        x_init = jnp.sqrt(var0) * jax.random.normal(key, (512, 2))
+        out = samplers.ddim(eps_fn, sch, x_init, 100, clip=None, t_max=t_max)
+        assert abs(float(out.std()) - 1.0) < 0.1
+        assert abs(float(out.mean())) < 0.1
+
+    def test_em_sde_preserves_standard_normal(self, key):
+        from composable_diffusion_models_tpu import samplers
+        sch = self.sch
+        t_max = 0.99  # E-M takes uniform dt through the stiff tail
+
+        def eps_fn(x, t):
+            a, s = sch.alpha(t), sch.sigma(t)
+            return s * x / (a**2 + s**2)
+
+        var0 = float(sch.alpha(t_max) ** 2 + sch.sigma(t_max) ** 2)
+        x_init = jnp.sqrt(var0) * jax.random.normal(key, (512, 2))
+        out = samplers.euler_maruyama(eps_fn, sch, jax.random.fold_in(key, 1),
+                                      x_init, 400, t_max=t_max)
+        assert abs(float(out.std()) - 1.0) < 0.12
+        assert abs(float(out.mean())) < 0.1
+
+    def test_log_likelihood_recovers_gaussian_density(self, key):
+        """NLL evaluator under the rectified kind: for x0 ~ N(0, I) the
+        analytic time-t marginal is N(0, a^2 + s^2)."""
+        from composable_diffusion_models_tpu import samplers
+        sch = self.sch
+        t_max = 0.99
+
+        def score_fn(x, t):
+            return -x / (sch.alpha(t) ** 2 + sch.sigma(t) ** 2)
+
+        x = jax.random.normal(key, (8, 2))
+        ll, _ = samplers.log_likelihood(score_fn, sch, x, 400, exact=True,
+                                        t_max=t_max)
+        var = sch.alpha(1e-3) ** 2 + sch.sigma(1e-3) ** 2
+        analytic = (-0.5 * jnp.sum(x * x, axis=-1) / var
+                    - jnp.log(2 * jnp.pi * var))
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(analytic),
+                                   atol=3e-2)

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="exact Jacobian trace (tiny dims only: D forwards "
                          "per ODE step)")
+    ap.add_argument("--t_max", type=float, default=None,
+                    help="terminal integration time (default: 1.0, or 0.99 "
+                         "under schedule.kind=rectified whose g^2 diverges "
+                         "at t=1)")
     ap.add_argument("--conditional", action="store_true",
                     help="pass dataset labels to the model (match how the "
                          "expert was trained)")
@@ -93,9 +97,11 @@ def main():
                    + schedule.alpha(t) * eps)  # v -> eps identity
         return -eps / schedule.sigma(t)
 
+    if args.t_max is None:
+        args.t_max = 0.99 if schedule.kind == "rectified" else 1.0
     ll_fn = jax.jit(lambda x, k: samplers.log_likelihood(
         score_fn, schedule, x, args.n_steps, key=k, probe=args.probe,
-        n_probes=args.n_probes, exact=args.exact)[0])
+        n_probes=args.n_probes, exact=args.exact, t_max=args.t_max)[0])
     ll = ll_fn(images, jax.random.fold_in(key, 11))
     bpd = samplers.bits_per_dim(ll, images.shape[1:])
     bpd_mean = float(bpd.mean())
@@ -105,6 +111,7 @@ def main():
         "expert": args.name, "preset": args.preset, "n_data": args.n_data,
         "n_steps": args.n_steps, "n_probes": args.n_probes,
         "probe": args.probe, "exact": bool(args.exact),
+        "t_max": args.t_max, "schedule_kind": schedule.kind,
         "nll_nats_mean": -float(ll.mean()),
         "bits_per_dim_mean": bpd_mean, "bits_per_dim_sem": bpd_sem,
     }

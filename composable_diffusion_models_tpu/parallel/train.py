@@ -25,13 +25,19 @@ Array = jax.Array
 
 def make_dp_train_step(apply_fn, schedule, tx, mesh: Mesh,
                        time_first: bool = False, uncond_prob: float = 0.0,
-                       null_labels: Optional[Sequence[int]] = None):
+                       null_labels: Optional[Sequence[int]] = None,
+                       snr_gamma: Optional[float] = None,
+                       predict: str = "eps"):
     """Data-parallel step: params replicated, batch sharded on 'data'.
     XLA inserts the gradient all-reduce. ``uncond_prob``/``null_labels``
     enable CFG label dropout (the guided workloads train data-parallel with
-    the same recipe as the single-device path — VERDICT r1 weak-6)."""
+    the same recipe as the single-device path — VERDICT r1 weak-6);
+    ``snr_gamma``/``predict`` mirror make_loss_fn so every single-device
+    training recipe (min-SNR weighting, x0/v objectives) is reachable
+    data-parallel."""
     loss_fn = make_loss_fn(apply_fn, schedule, time_first=time_first,
-                           uncond_prob=uncond_prob, null_labels=null_labels)
+                           uncond_prob=uncond_prob, null_labels=null_labels,
+                           snr_gamma=snr_gamma, predict=predict)
     repl = NamedSharding(mesh, P())
 
     @jax.jit
@@ -47,7 +53,9 @@ def make_dp_train_step(apply_fn, schedule, tx, mesh: Mesh,
 def make_expert_parallel_train_step(apply_fn, schedule, tx, mesh: Mesh,
                                     time_first: bool = False,
                                     uncond_prob: float = 0.0,
-                                    null_labels: Optional[Sequence[int]] = None):
+                                    null_labels: Optional[Sequence[int]] = None,
+                                    snr_gamma: Optional[float] = None,
+                                    predict: str = "eps"):
     """Expert+data-parallel step over STACKED expert params via shard_map.
 
     XLA's SPMD partitioner cannot split a vmapped conv's expert axis (it
@@ -59,11 +67,13 @@ def make_expert_parallel_train_step(apply_fn, schedule, tx, mesh: Mesh,
     Inputs: stacked_params / stacked_opt with leading K axis (shard on
     'expert'), batch of shape (K, B, ...) (shard ('expert', 'data')), key,
     optional per-expert label arrays each (K, B) (shard ('expert', 'data')).
-    ``uncond_prob``/``null_labels`` enable CFG label dropout per expert.
-    Returns updated stacks and per-expert losses (K,).
+    ``uncond_prob``/``null_labels`` enable CFG label dropout per expert;
+    ``snr_gamma``/``predict`` mirror make_loss_fn (min-SNR weighting, x0/v
+    objectives). Returns updated stacks and per-expert losses (K,).
     """
     loss_fn = make_loss_fn(apply_fn, schedule, time_first=time_first,
-                           uncond_prob=uncond_prob, null_labels=null_labels)
+                           uncond_prob=uncond_prob, null_labels=null_labels,
+                           snr_gamma=snr_gamma, predict=predict)
 
     def one(params, opt_state, key, x0, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, key, x0, labels)

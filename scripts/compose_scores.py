@@ -24,6 +24,11 @@ def main():
                     help="JSON list of checkpoint names")
     ap.add_argument("--weights", default=None, help="JSON list of weights")
     ap.add_argument("--sampler", default="em", choices=["em", "ddim", "dpmpp"])
+    ap.add_argument("--corrector_steps", type=int, default=0,
+                    help="Langevin corrector steps per DDIM level — the "
+                         "Du-et-al-2023 fix for composed (non-gradient) "
+                         "score fields; ddim sampler only")
+    ap.add_argument("--corrector_snr", type=float, default=0.16)
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -52,7 +57,11 @@ def main():
         out = samplers.dpm_solver_pp_2m(eps_fn, schedule, x_init,
                                         cfg.sample.n_steps)
     elif args.sampler == "ddim":
-        out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps)
+        out = samplers.ddim(eps_fn, schedule, x_init, cfg.sample.n_steps,
+                            key=(jax.random.fold_in(key, 1)
+                                 if args.corrector_steps else None),
+                            corrector_steps=args.corrector_steps,
+                            corrector_snr=args.corrector_snr)
     else:
         out = samplers.euler_maruyama(eps_fn, schedule, key, x_init,
                                       cfg.sample.n_steps, cfg.sample.xi)

@@ -1,0 +1,153 @@
+"""Diffusion Transformer (DiT) score model — beyond-reference capability.
+
+The reference repo is UNet-only (SURVEY.md §2.2). A patchify-transformer
+backbone (Peebles & Xie 2023, "Scalable Diffusion Models with Transformers",
+adaLN-Zero variant) is the natural TPU-first alternative: the measured
+throughput ceiling of the reference's pre-norm conv UNet on this chip is the
+GroupNorm HBM passes interleaved between every conv pair (DESIGN.md §3 —
+~0.4 ms of pure bandwidth per GN at 28x28x64 that XLA cannot fuse into the
+neighboring convs). A DiT spends its time in dense matmuls (attention + MLP
+over tokens) whose LayerNorms fuse into the surrounding GEMM epilogues, so
+the same FLOP budget lands on the MXU at a higher sustained rate.
+
+Drop-in: ``apply(params, x, t, *labels)`` with NHWC in/out exactly like
+``UNet`` — every sampler, composition operator, ``ExpertStack``, training
+loop, and parallel step works unchanged. Conditioning uses the same label
+contract (``num_classes`` slots + optional ``null_token`` row for CFG).
+
+adaLN-Zero: each block's modulation MLP and the final projection initialize
+to zero, so the network IS the zero function at init (identity residual
+stream) — the property Peebles & Xie found critical for stable large-depth
+training; pinned by a test.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .embeddings import TimeEmbedding
+
+Array = jax.Array
+
+
+def _modulate(x: Array, shift: Array, scale: Array) -> Array:
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTBlock(nn.Module):
+    """Pre-LN transformer block with adaLN-Zero conditioning."""
+
+    dim: int
+    n_heads: int
+    mlp_ratio: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, c: Array) -> Array:
+        # 6 modulation vectors from the conditioning, zero-init so the block
+        # is the identity at initialization
+        mod = nn.Dense(6 * self.dim, kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.dtype)(nn.silu(c))
+        sa_shift, sa_scale, sa_gate, mlp_shift, mlp_scale, mlp_gate = (
+            jnp.split(mod, 6, axis=-1))
+        # LN in fp32 (repo numerics policy: norm stats out of bf16),
+        # scale/shift come from the modulation instead of LN params
+        h = nn.LayerNorm(use_scale=False, use_bias=False,
+                         dtype=jnp.float32)(x).astype(x.dtype)
+        h = _modulate(h, sa_shift, sa_scale)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dtype=self.dtype)(h, h)
+        x = x + sa_gate[:, None, :] * h
+        h = nn.LayerNorm(use_scale=False, use_bias=False,
+                         dtype=jnp.float32)(x).astype(x.dtype)
+        h = _modulate(h, mlp_shift, mlp_scale)
+        h = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        return x + mlp_gate[:, None, :] * h
+
+
+class DiT(nn.Module):
+    """Patchify -> N adaLN-Zero blocks -> zero-init linear unpatchify.
+
+    Args:
+      patch:       patch edge; img_size % patch == 0 (28 -> patch 4 = 49
+                   tokens).
+      dim/depth/n_heads: transformer width/depth/heads.
+      in_channels: image channels (output matches).
+      num_classes: label slots, same contract as UNet (embeddings are ADDED
+                   to the time conditioning vector).
+      null_token:  reserve one extra row per slot for CFG dropout.
+
+    Unlike the (fully convolutional, size-agnostic) UNet, the learned
+    positional embedding ties a checkpoint to one image size — init and
+    train at the data's true resolution.
+    """
+
+    patch: int = 4
+    dim: int = 256
+    depth: int = 6
+    n_heads: int = 8
+    in_channels: int = 1
+    num_classes: Sequence[int] = ()
+    null_token: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, t: Array, *labels: Array) -> Array:
+        b, h, w, cin = x.shape
+        if h % self.patch or w % self.patch:
+            raise ValueError(f"img {h}x{w} not divisible by patch "
+                             f"{self.patch}")
+        gh, gw = h // self.patch, w // self.patch
+        n_tok = gh * gw
+
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            # batch-constant scalar t from the samplers' scan bodies — same
+            # batch-1 broadcast trick as UNet (unet.py:311-317)
+            t = t[None]
+        # conditioning vector: time + summed label embeddings (UNet contract)
+        c = TimeEmbedding(self.dim, self.dim, dtype=self.dtype)(t)
+        if self.num_classes:
+            assert len(labels) == len(self.num_classes), (
+                f"model takes {len(self.num_classes)} label slots, "
+                f"got {len(labels)}")
+            for i, n in enumerate(self.num_classes):
+                vocab = n + (1 if self.null_token else 0)
+                c = c + nn.Embed(vocab, self.dim, dtype=self.dtype,
+                                 name=f"label_emb_{i}")(labels[i])
+
+        # patchify as a strided conv (lowers to one GEMM on TPU)
+        tok = nn.Conv(self.dim, kernel_size=(self.patch, self.patch),
+                      strides=(self.patch, self.patch), padding="VALID",
+                      dtype=self.dtype, name="patchify")(x)
+        tok = tok.reshape(b, n_tok, self.dim)
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (1, n_tok, self.dim))
+        tok = tok + pos.astype(tok.dtype)
+
+        for i in range(self.depth):
+            tok = DiTBlock(self.dim, self.n_heads, dtype=self.dtype,
+                           name=f"block_{i}")(tok, c)
+
+        # final adaLN + zero-init projection (fp32 output head, repo policy)
+        mod = nn.Dense(2 * self.dim, kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.dtype, name="final_mod")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        tok = nn.LayerNorm(use_scale=False, use_bias=False,
+                           dtype=jnp.float32)(tok).astype(tok.dtype)
+        tok = _modulate(tok, shift, scale)
+        out = nn.Dense(self.patch * self.patch * self.in_channels,
+                       kernel_init=nn.initializers.zeros,
+                       dtype=jnp.float32, name="unpatchify")(
+                           tok.astype(jnp.float32))
+        out = out.reshape(b, gh, gw, self.patch, self.patch, self.in_channels)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w,
+                                                       self.in_channels)

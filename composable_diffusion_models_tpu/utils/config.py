@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 @dataclasses.dataclass
 class ModelConfig:
-    kind: str = "unet"                 # unet | mlp | latent_mlp | vae
+    kind: str = "unet"                 # unet | dit | mlp | latent_mlp | vae
     in_channels: int = 1
     base_dim: int = 64
     channel_mults: Tuple[int, ...] = (1, 2, 4)
@@ -32,6 +32,8 @@ class ModelConfig:
     pad_to: int = 0                    # 0 = off; e.g. 32: compute on an
                                        # 8-aligned zero-padded canvas (TPU
                                        # conv-emitter tiling; models/unet.py)
+    patch: int = 4                     # dit family: patch edge
+    n_heads: int = 8                   # dit family: attention heads
 
 
 @dataclasses.dataclass

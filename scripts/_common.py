@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from composable_diffusion_models_tpu import data as data_lib
-from composable_diffusion_models_tpu.models import (LatentDiffusionMLP,
+from composable_diffusion_models_tpu.models import (DiT, LatentDiffusionMLP,
                                                     ScoreMLP, UNet)
 from composable_diffusion_models_tpu.schedules import DDPMSchedule, VPSchedule
 from composable_diffusion_models_tpu.utils.config import Config
@@ -40,6 +40,11 @@ def build_model(cfg: Config):
                     num_classes=tuple(m.num_classes),
                     null_token=m.null_token, cross_attn=m.cross_attn,
                     dtype=dtype, pad_to=m.pad_to or None)
+    if m.kind == "dit":
+        return DiT(patch=m.patch, dim=m.hidden, depth=m.depth,
+                   n_heads=m.n_heads, in_channels=m.in_channels,
+                   num_classes=tuple(m.num_classes),
+                   null_token=m.null_token, dtype=dtype)
     if m.kind == "mlp":
         return ScoreMLP(hidden=m.hidden, depth=m.depth, out_dim=m.latent_dim)
     if m.kind == "latent_mlp":
@@ -84,7 +89,7 @@ def build_dataset(cfg: Config, key):
 
 def init_params(cfg: Config, model, key):
     m, d = cfg.model, cfg.data
-    if m.kind == "unet":
+    if m.kind in ("unet", "dit"):
         x = jnp.zeros((1, d.img_size, d.img_size, m.in_channels))
         labels = tuple(jnp.zeros((1,), jnp.int32) for _ in m.num_classes)
         return model.init(key, x, jnp.ones((1,)), *labels)

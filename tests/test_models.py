@@ -261,3 +261,73 @@ def test_vae_roundtrip(key):
     assert bool(jnp.isfinite(loss))
     z = vae.apply(p, mu, method=BetaVAE.decode)
     assert z.shape == x.shape
+
+
+class TestDiT:
+    """Diffusion-transformer backbone (models/dit.py, beyond-reference):
+    same apply(params, x, t, *labels) contract as UNet so the whole
+    sampler/composition stack is architecture-agnostic."""
+
+    def _model(self, **kw):
+        from composable_diffusion_models_tpu.models import DiT
+        cfg = dict(patch=4, dim=64, depth=2, n_heads=4, in_channels=1)
+        cfg.update(kw)
+        return DiT(**cfg)
+
+    def test_shape_and_adaln_zero_init(self, key):
+        model = self._model()
+        x = jax.random.normal(key, (2, 28, 28, 1))
+        params = model.init(key, x, jnp.ones((2,)))
+        out = model.apply(params, x, jnp.ones((2,)))
+        assert out.shape == x.shape
+        # adaLN-Zero: the network is exactly the zero function at init
+        # (zero-init final projection), the stability property the DiT
+        # paper pins for deep stacks
+        assert float(jnp.abs(out).max()) == 0.0
+
+    def test_label_conditioning_changes_output_after_training_step(self, key):
+        from composable_diffusion_models_tpu import train
+        from composable_diffusion_models_tpu.schedules import VPSchedule
+        model = self._model(num_classes=(3,), null_token=True)
+        x = jax.random.normal(key, (4, 28, 28, 1))
+        lab = jnp.zeros((4,), jnp.int32)
+        params = model.init(key, x, jnp.ones((4,)), lab)
+        # TWO grad steps: the zero-init unpatchify blocks all conditioning
+        # gradients for exactly one step (out = 0-kernel @ tokens, so
+        # d out / d modulation = 0 at init); step 1 makes unpatchify nonzero,
+        # step 2 propagates into the adaLN conditioning — labels then matter
+        loss_fn = train.make_loss_fn(model.apply, VPSchedule())
+        for i in range(2):
+            g = jax.grad(loss_fn)(params, jax.random.fold_in(key, i), x,
+                                  (lab,))
+            params = jax.tree_util.tree_map(lambda p, gg: p - 0.1 * gg,
+                                            params, g)
+        out0 = model.apply(params, x, jnp.ones((4,)), lab)
+        out1 = model.apply(params, x, jnp.ones((4,)), lab + 1)
+        assert float(jnp.abs(out0 - out1).max()) > 1e-6
+        # null row reachable (CFG contract): label == num_classes
+        out_null = model.apply(params, x, jnp.ones((4,)),
+                               jnp.full((4,), 3, jnp.int32))
+        assert out_null.shape == x.shape
+
+    def test_patch_divisibility_enforced(self, key):
+        model = self._model(patch=8)
+        x = jnp.zeros((1, 28, 28, 1))
+        with pytest.raises(ValueError, match="divisible"):
+            model.init(key, x, jnp.ones((1,)))
+
+    def test_trains_and_samples_end_to_end(self, key):
+        """DSM loss decreases and DDIM consumes the DiT closure unchanged."""
+        from composable_diffusion_models_tpu import samplers, train
+        from composable_diffusion_models_tpu.schedules import VPSchedule
+        model = self._model(patch=4, dim=32, depth=1, n_heads=2)
+        sch = VPSchedule()
+        x0 = jax.random.normal(key, (64, 8, 8, 1)) * 0.5
+        params = model.init(key, x0[:1], jnp.ones((1,)))
+        params, losses = train.train_expert(
+            key, model.apply, params, sch, x0, (), steps=60, batch_size=32,
+            lr=2e-3)
+        assert float(losses[-10:].mean()) < float(losses[:10].mean())
+        out = samplers.ddim(lambda x, t: model.apply(params, x, t),
+                            sch, jax.random.normal(key, (4, 8, 8, 1)), 10)
+        assert out.shape == (4, 8, 8, 1)

@@ -4,9 +4,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
-for d in outputs/*/run_0/results outputs/*/eval_composition/run_0/results; do
+for d in outputs/*/run_0/results outputs/*/*/run_0/results; do
   [ -d "$d" ] || continue
   preset=$(echo "$d" | cut -d/ -f2)
+  [ "$preset" = verify_scratch ] && continue
   mkdir -p "artifacts/$preset"
   find "$d" -maxdepth 1 \( -name '*.png' -o -name '*.json' \) \
     -exec cp {} "artifacts/$preset/" \;

@@ -10,11 +10,13 @@ cd "$(dirname "$0")/.."
 
 STEPS="${STEPS:-12000}"
 
-echo "=== proj+proj_cg: shapes holdout eval ==="
+echo "=== proj+proj_cg: shapes holdout eval (flagship recipe) ==="
+# min-SNR(5) experts + proj_cg w=(1,1) is the measured flagship:
+# 0.66 seen / 0.625 held-out joint (artifacts/proj_cg_snr_shapes/).
 python scripts/eval_composition.py --train.steps=$STEPS \
-    --samples_per_combo 64 --n_steps 100 --op proj,proj_cg \
-    --uncond_prob 0.1 --factor0_grayscale --gray_norm \
-    --weight_grid "[[1,1],[1,3],[1,10],[2,3]]" --probe_steps 2000 \
+    --train.snr_gamma=5 --samples_per_combo 64 --n_steps 100 \
+    --op proj,proj_cg --uncond_prob 0.1 --factor0_grayscale --gray_norm \
+    --weight_grid "[[1,1],[1,3],[2,3]]" --probe_steps 2000 \
     --out outputs/proj_cg_shapes
 
 echo "=== proj+proj_cg: colored-MNIST holdout eval ==="

@@ -176,12 +176,21 @@ def main():
     f0_ch = 1 if args.factor0_grayscale else 3
     f0_imgs = (rgb_to_gray(held_imgs, normalized=args.gray_norm)
                if args.factor0_grayscale else held_imgs)
-    shape_model = UNet(in_channels=f0_ch, base_dim=cfg.model.base_dim,
-                       channel_mults=tuple(cfg.model.channel_mults),
-                       num_classes=(n_classes[0],), null_token=True)
-    color_model = UNet(in_channels=3, base_dim=cfg.model.base_dim,
-                       channel_mults=tuple(cfg.model.channel_mults),
-                       num_classes=(n_classes[1],), null_token=True)
+    def expert_model(in_ch, n_cls):
+        # honor --model.kind so the DiT backbone runs the same protocol
+        # (models/dit.py is apply-compatible with UNet)
+        if cfg.model.kind == "dit":
+            from composable_diffusion_models_tpu.models import DiT
+            return DiT(patch=cfg.model.patch, dim=cfg.model.hidden,
+                       depth=cfg.model.depth, n_heads=cfg.model.n_heads,
+                       in_channels=in_ch, num_classes=(n_cls,),
+                       null_token=True)
+        return UNet(in_channels=in_ch, base_dim=cfg.model.base_dim,
+                    channel_mults=tuple(cfg.model.channel_mults),
+                    num_classes=(n_cls,), null_token=True)
+
+    shape_model = expert_model(f0_ch, n_classes[0])
+    color_model = expert_model(3, n_classes[1])
     lab0 = jnp.zeros((1,), jnp.int32)
     print(f"training factor-0 expert ({'gray' if f0_ch == 1 else 'RGB'} "
           "| shape/digit) ...")

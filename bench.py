@@ -146,6 +146,72 @@ def measure_train_throughput(base_dim: int, batch_size: int = 256,
     return steps * batch_size / dt
 
 
+def dit_gflop_per_image(img_size: int = 28, patch: int = 4, dim: int = 512,
+                        depth: int = 4, n_experts: int = 3,
+                        n_steps: int = 50) -> float:
+    """Analytic FLOPs/image for the DiT flagship composer on the bench
+    workload (counted matmul MACs x2, same convention as the UNet count):
+    per block qkv+out 4ND^2 + attention 2N^2D + MLP 8ND^2 + modulation 6D^2,
+    plus patchify/unpatchify GEMMs."""
+    n_tok = (img_size // patch) ** 2
+    per_block = 12 * n_tok * dim * dim + 2 * n_tok * n_tok * dim \
+        + 6 * dim * dim
+    patchify = 2 * n_tok * dim * patch * patch  # in and out projections
+    fwd_macs = depth * per_block + patchify
+    return 2.0 * fwd_macs * n_experts * n_steps / 1e9
+
+
+def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
+                           dim: int = 512, depth: int = 4) -> float:
+    """Secondary metric (reported in "extra"): the DiT flagship composer
+    (models/dit.py, the measured-best compositional backbone on both eval
+    datasets) on the SAME bench workload — MNIST 28x28, 50-step DDIM,
+    3 composed experts.
+
+    Measured: ~471 img/s at 45% MFU (batch sweep 256/384/512/768/1024 —
+    256 and 384 tie, larger is WORSE). At 28x28/patch-4 the sequence is
+    only 49 tokens, so the per-head attention GEMMs (49x64x49) and the
+    adaLN modulation elementwise passes keep the DiT at an MFU comparable
+    to the UNet's 49%, not above it — the hypothesis that LayerNorm-into-
+    GEMM fusion would beat the UNet's GroupNorm HBM passes is REFUTED at
+    this resolution (it holds FLOP-for-FLOP only at longer sequences). The
+    DiT's measured value at these sizes is compositional quality (README
+    eval tables), and this row prices that choice: 1.62x the FLOPs of the
+    3-UNet workload at 0.93x the MFU."""
+    from composable_diffusion_models_tpu.models import DiT
+
+    key = jax.random.PRNGKey(0)
+    model = DiT(patch=4, dim=dim, depth=depth, in_channels=1,
+                dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 28, 28, 1))
+    params_list = [
+        jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16),
+            model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,))))
+        for i in range(3)
+    ]
+    stack = experts.ExpertStack(model.apply, params_list)
+    schedule = VPSchedule()
+    w = jnp.ones((3,), jnp.float32)
+
+    def eps_fn(x, t):
+        eps = stack(x.astype(jnp.bfloat16), t.astype(jnp.bfloat16))
+        return compose.weighted(eps.astype(jnp.float32), w)
+
+    @jax.jit
+    def sample(key):
+        x = jax.random.normal(key, (batch_size, 28, 28, 1), jnp.float32)
+        return samplers.ddim(eps_fn, schedule, x, 50)
+
+    float(sample(key).ravel()[0])
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for i in range(iters):
+        acc = acc + sample(jax.random.fold_in(key, 1 + i)).ravel()[0]
+    float(acc)
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def measure_shapes_throughput(iters: int = 3) -> float:
     """Secondary benchmark (reported in "extra"): shapes 64x64 RGB, 50-step
     DDIM, 2 conditional experts (the compose_images_ddim workload at
@@ -239,6 +305,8 @@ def main():
     steps_per_sec = 50.0 / best_t if best_t else 0.0
     train_ips = measure_train_throughput(args.base_dim)
     shapes_ips = measure_shapes_throughput()
+    dit_ips = measure_dit_throughput()
+    dit_tflops = dit_ips * dit_gflop_per_image() / 1e3
     # progress against the physics ceiling, not just the target number:
     # implied TF/s = analytic FLOPs/image x img/s; MFU = that / chip peak
     gfi = gflop_per_image(args.base_dim, args.img_size, args.pad_to)
@@ -252,6 +320,8 @@ def main():
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "train_images_per_sec": round(train_ips, 1),
                   "shapes64_images_per_sec": round(shapes_ips, 1),
+                  "dit_flagship_images_per_sec": round(dit_ips, 1),
+                  "dit_flagship_mfu": round(dit_tflops / CHIP_PEAK_TFLOPS, 3),
                   "implied_tflops": round(implied_tflops, 1),
                   "mfu": round(implied_tflops / CHIP_PEAK_TFLOPS, 3),
                   "roofline_images_per_sec": round(

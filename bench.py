@@ -162,7 +162,8 @@ def dit_gflop_per_image(img_size: int = 28, patch: int = 4, dim: int = 512,
 
 
 def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
-                           dim: int = 512, depth: int = 4) -> float:
+                           dim: int = 512, depth: int = 4,
+                           n_steps: int = 50) -> float:
     """Secondary metric (reported in "extra"): the DiT flagship composer
     (models/dit.py, the measured-best compositional backbone on both eval
     datasets) on the SAME bench workload — MNIST 28x28, 50-step DDIM,
@@ -201,7 +202,7 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
     @jax.jit
     def sample(key):
         x = jax.random.normal(key, (batch_size, 28, 28, 1), jnp.float32)
-        return samplers.ddim(eps_fn, schedule, x, 50)
+        return samplers.ddim(eps_fn, schedule, x, n_steps)
 
     float(sample(key).ravel()[0])
     t0 = time.perf_counter()
@@ -212,14 +213,16 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
     return batch_size * iters / (time.perf_counter() - t0)
 
 
-def measure_shapes_throughput(iters: int = 3) -> float:
+def measure_shapes_throughput(iters: int = 3, bs: int = 128,
+                              base_dim: int = 64, img_size: int = 64,
+                              n_steps: int = 50) -> float:
     """Secondary benchmark (reported in "extra"): shapes 64x64 RGB, 50-step
     DDIM, 2 conditional experts (the compose_images_ddim workload at
     production image size)."""
     key = jax.random.PRNGKey(0)
-    model = UNet(in_channels=3, base_dim=64, channel_mults=(1, 2, 4),
+    model = UNet(in_channels=3, base_dim=base_dim, channel_mults=(1, 2, 4),
                  num_classes=(3,), dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 64, 64, 3))
+    x0 = jnp.zeros((1, img_size, img_size, 3))
     lab = jnp.zeros((1,), jnp.int32)
     params_list = [
         jax.tree_util.tree_map(
@@ -230,7 +233,7 @@ def measure_shapes_throughput(iters: int = 3) -> float:
     stack = experts.ExpertStack(model.apply, params_list)
     schedule = VPSchedule()
     w = jnp.ones((2,), jnp.float32)
-    bs = 128  # measured sweet spot (64: 161, 128: 205, 192: 181 img/s)
+    # default bs=128: measured sweet spot (64: 161, 128: 205, 192: 181 img/s)
     labels = experts.per_expert(jnp.zeros((2, bs), jnp.int32))
 
     def eps_fn(x, t):
@@ -239,8 +242,8 @@ def measure_shapes_throughput(iters: int = 3) -> float:
 
     @jax.jit
     def sample(key):
-        x = jax.random.normal(key, (bs, 64, 64, 3), jnp.float32)
-        return samplers.ddim(eps_fn, schedule, x, 50)
+        x = jax.random.normal(key, (bs, img_size, img_size, 3), jnp.float32)
+        return samplers.ddim(eps_fn, schedule, x, n_steps)
 
     float(sample(key).ravel()[0])
     t0 = time.perf_counter()

@@ -108,7 +108,8 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
          t_max: float = 1.0, t_min: float = 1e-3,
          eta: float = 0.0, key: Optional[Array] = None,
          predict: str = "eps", spacing: str = "linear",
-         corrector_steps: int = 0, corrector_snr: float = 0.16) -> Array:
+         corrector_steps: int = 0, corrector_snr: float = 0.16,
+         corrector_t_max: float = 1.0) -> Array:
     """DDIM update (parity: /root/reference/shapes/compose_images_ddim.py:21-70):
 
       x0_pred = (x - sigma_now * eps) / alpha_now, clamped
@@ -151,6 +152,12 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
     reverse diffusion samples the wrong distribution for products of
     experts; Langevin corrections sample the intended one). ``key`` is
     required; the corrector composes with eta, predict, and spacing.
+    ``corrector_t_max`` restricts correction to levels t <= threshold
+    (measured: full-range correction on composed fields can destroy the
+    early trajectory — the high-noise composed score is the least
+    gradient-like; restricting MCMC to the low-noise tail keeps the fix
+    where the density is well-shaped). The gated steps still evaluate
+    eps_fn under the scan but apply a zero step size.
     """
     if predict not in ("eps", "x0", "v"):
         raise ValueError(f"predict must be 'eps', 'x0' or 'v', "
@@ -188,6 +195,8 @@ def ddim(eps_fn: EpsFn, schedule: VPSchedule, x_init: Array, n_steps: int,
             g_norm = jnp.mean(jnp.sqrt(jnp.sum(score**2, axis=red)))
             z_norm = jnp.mean(jnp.sqrt(jnp.sum(z**2, axis=red)))
             e = 2.0 * (corrector_snr * z_norm / jnp.maximum(g_norm, 1e-20))**2
+            # t-gate under jit: zero step size == identity update
+            e = e * (t_next <= corrector_t_max)
             x = x + e * score + jnp.sqrt(2.0 * e) * z
         return x
 
@@ -355,7 +364,7 @@ def ddpm_ancestral(eps_fn: EpsFn, sde: DDPMSchedule, key: Array,
 # ---------------------------------------------------------------------------
 def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
               key: Array, x_init: Array, operation: str = "OR",
-              temp: float = 1.0, bias: float = 0.0,
+              temp: float = 1.0, bias=0.0,
               clip: Optional[Tuple[float, float]] = (-1.0, 1.0),
               noise_scale: float = 1.0,
               kappa_fixed: Optional[Sequence[float]] = None) -> Array:
@@ -370,6 +379,9 @@ def superdiff(eps_stack_fn: Callable[[Array, Array], Array], sde: DDPMSchedule,
       ancestral step with combined score, then per-expert
       d log_q = <dx, s> + (div f + <f - 0.5 g^2 s, s>) dtau
       with f = -0.5 beta_t x, g^2 = beta_t, div f = -0.5 beta_t d, dtau = 1/T.
+
+    ``bias`` tilts the OR blend only when per-expert (shape (K,)); a
+    non-zero scalar raises in compose.or_softmax (shift-invariant no-op).
     """
     tbl = sde.table()
     n = sde.num_timesteps
@@ -436,7 +448,7 @@ def _num_experts(eps_stack_fn, x_init) -> int:
 def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
                         sde: DDPMSchedule, key: Array, x_init: Array,
                         mode: str = "AND", temp: float = 1.0,
-                        bias: float = 0.0,
+                        bias=0.0,
                         k_experts: Optional[int] = None) -> Array:
     """Parity: sample_superdiff at
     /root/reference/src/composing_conditional_diffusion_on_shape_and_color_6_1.py:330-429.
@@ -444,6 +456,11 @@ def superdiff_and_solve(eps_stack_fn: Callable[[Array, Array], Array],
     Uses finite-difference (f_coeff, g2) tables; AND builds the KxK system
     from drift/score inner products (compose.and_solve_k; the reference is
     hardcoded to 2 experts — K>2 is a beyond-reference capability).
+
+    ``bias``: in AND mode a scalar meaningfully tilts every density-change
+    row of the linear system; per-expert shape (K,) tilts expert targets
+    (compose._row_bias). In OR mode only per-expert (K,) has effect — a
+    non-zero scalar raises (compose.or_softmax).
     """
     if k_experts is None:
         k_experts = _num_experts(eps_stack_fn, x_init)
@@ -685,6 +702,11 @@ def make_classifier_guided_eps_fn(eps_fn: EpsFn, schedule: VPSchedule,
     ``noise_aug``; slice its logits at the target and log-softmax). The
     gradient flows through jax.grad inside the jitted sampler scan — no
     autograd-graph juggling as in the torch equivalent.
+
+    ``scale`` may be a callable ``scale(t) -> scalar`` for t-scheduled
+    guidance (e.g. guide only the low-noise tail: guidance needs are
+    t-dependent — the probe's gradients are most informative once structure
+    exists, while early steps should follow the composed prior).
     """
     def guided(x: Array, t: Array) -> Array:
         eps = eps_fn(x, t)
@@ -692,7 +714,8 @@ def make_classifier_guided_eps_fn(eps_fn: EpsFn, schedule: VPSchedule,
         sig = jnp.asarray(schedule.sigma(t))
         if sig.ndim:  # per-sample t: broadcast over trailing dims
             sig = sig.reshape(sig.shape + (1,) * (x.ndim - sig.ndim))
-        return eps - scale * sig * g
+        s = scale(t) if callable(scale) else scale
+        return eps - s * sig * g
 
     return guided
 

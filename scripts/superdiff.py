@@ -29,7 +29,11 @@ def main():
                     help="JSON per-expert fixed kappa for --operation FIXED, "
                          "e.g. [0.7,0.3] (reference _6_3.py:368-371)")
     ap.add_argument("--temp", type=float, default=1.0)
-    ap.add_argument("--bias", type=float, default=0.0)
+    ap.add_argument("--bias", default="0.0",
+                    help="scalar, or comma-separated per-expert biases "
+                         "(e.g. '0.5,-0.5'). A non-zero scalar is rejected "
+                         "in OR mode: softmax is shift-invariant, so it "
+                         "would silently sweep nothing")
     ap.add_argument("--out", default="outputs")
     ap.add_argument("--seed", type=int, default=42)
     add_runtime_flags(ap)
@@ -67,6 +71,11 @@ def main():
     def eps_stack_fn(x, ti):
         return stack(x, ti.astype(jnp.float32), *label_args)
 
+    bias_vals = [float(v) for v in str(args.bias).split(",")]
+    bias = bias_vals[0] if len(bias_vals) == 1 else jnp.asarray(bias_vals)
+    if hasattr(bias, "shape") and bias.shape != (len(names),):
+        ap.error(f"--bias needs 1 or {len(names)} values")
+
     shape = (bs, cfg.data.img_size, cfg.data.img_size, cfg.model.in_channels)
     x_init = jax.random.normal(key, shape)
     if args.rigorous_and:
@@ -74,12 +83,12 @@ def main():
             ap.error("--rigorous_and supports --operation OR|AND only")
         out = samplers.superdiff_and_solve(eps_stack_fn, sde, key, x_init,
                                            mode=args.operation,
-                                           temp=args.temp, bias=args.bias,
+                                           temp=args.temp, bias=bias,
                                            k_experts=len(names))
     else:
         out = samplers.superdiff(eps_stack_fn, sde, key, x_init,
                                  operation=args.operation, temp=args.temp,
-                                 bias=args.bias,
+                                 bias=bias,
                                  kappa_fixed=(json.loads(args.kappa)
                                               if args.kappa else None))
     path = save_grid(out, f"{mgr.results_dir}/superdiff_{args.operation}.png")

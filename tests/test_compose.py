@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from composable_diffusion_models_tpu import compose
 
@@ -48,6 +49,41 @@ def test_or_softmax_properties():
     np.testing.assert_allclose(np.asarray(k.sum(0)), 1.0, rtol=1e-6)
     assert float(k[0, 1]) > 0.99           # higher log-density wins
     assert abs(float(k[0, 0]) - 0.5) < 1e-6
+
+
+def test_or_softmax_scalar_bias_rejected():
+    # softmax is shift-invariant: a scalar bias sweeps nothing, so a concrete
+    # non-zero scalar must raise instead of silently no-oping (VERDICT r2)
+    log_q = jnp.zeros((2, 3))
+    with pytest.raises(ValueError, match="inert"):
+        compose.or_softmax(log_q, bias=0.7)
+    # zero scalar (the default) stays fine
+    k = compose.or_softmax(log_q, bias=0.0)
+    np.testing.assert_allclose(np.asarray(k), 0.5, rtol=1e-6)
+
+
+def test_or_softmax_per_expert_bias_tilts():
+    log_q = jnp.zeros((2, 3))
+    k = compose.or_softmax(log_q, bias=jnp.array([2.0, 0.0]))
+    assert bool(jnp.all(k[0] > 0.85))      # biased expert wins everywhere
+    np.testing.assert_allclose(np.asarray(k.sum(0)), 1.0, rtol=1e-6)
+    # (K, 1) column form is equivalent
+    k2 = compose.or_softmax(log_q, bias=jnp.array([[2.0], [0.0]]))
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k), rtol=1e-6)
+
+
+def test_and_solve_per_expert_bias_tilts():
+    # identical experts -> singular rows; give the system full rank first
+    a = jnp.zeros((1, 2, 2)).at[:, 0, 0].set(1.0)   # p=1, q=0
+    b = jnp.zeros((1, 2))
+    base = compose.and_solve(a, b)                   # r=0 -> k=(0, 1)
+    np.testing.assert_allclose(np.asarray(base), [[0.0, 1.0]], atol=1e-6)
+    tilted = compose.and_solve(a, b, bias=jnp.array([0.0, 0.5]))
+    # per-expert bias enters as bias[1]-bias[0]=0.5 -> k0 = 0.5
+    np.testing.assert_allclose(np.asarray(tilted), [[0.5, 0.5]], atol=1e-6)
+    # bad shape rejected
+    with pytest.raises(ValueError, match="bias"):
+        compose.and_solve(a, b, bias=jnp.array([1.0, 2.0, 3.0]))
 
 
 def test_and_heuristic_inverts_preference():

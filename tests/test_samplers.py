@@ -85,6 +85,19 @@ def test_classifier_guidance_is_bayes_rule_at_scale_1(key):
     # unguided control: the marginal is symmetric, mean ~ 0
     out_u = samplers.ddim(marginal_eps, SCH, x_init, 200, clip=None)
     assert abs(float(out_u[:, 0].mean())) < 0.5
+    # t-scheduled scale: a callable that returns 0 everywhere must be
+    # bit-identical to the unguided sampler (the 'cfg late' gate of
+    # eval_composition --t_switch rides this path)
+    gated = samplers.make_classifier_guided_eps_fn(
+        marginal_eps, SCH, logp_y1, scale=lambda t: 0.0 * (t < 0.0))
+    out_g = samplers.ddim(gated, SCH, x_init, 50, clip=None)
+    out_ref = samplers.ddim(marginal_eps, SCH, x_init, 50, clip=None)
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_ref))
+    # and a late-only schedule still steers toward the class-1 component
+    late = samplers.make_classifier_guided_eps_fn(
+        marginal_eps, SCH, logp_y1, scale=lambda t: 1.0 * (t < 0.5))
+    out_l = samplers.ddim(late, SCH, x_init, 200, clip=None)
+    assert float(out_l[:, 0].mean()) > 1.0
 
 
 def test_x0_loss_targets_clean_image(key):
@@ -500,3 +513,22 @@ class TestLangevinCorrector:
         x = jax.random.normal(key, (4, 2))
         with pytest.raises(ValueError, match="corrector"):
             samplers.ddim(gaussian_eps_fn, SCH, x, 5, corrector_steps=1)
+
+    def test_corrector_t_max_gates_to_identity(self, key):
+        """corrector_t_max=0 zeroes every Langevin step size: the PC run
+        must be bit-identical to the plain predictor; an intermediate
+        threshold (low-noise-only correction) still fixes a mis-scaled
+        trajectory (the VERDICT-r2 lever: full-range correction harmed the
+        composed samplers, so the gate must leave the tail working)."""
+        x_init = 2.0 * jax.random.normal(key, (BS, 2))
+        plain = samplers.ddim(gaussian_eps_fn, SCH, x_init, 10, clip=None)
+        gated_off = samplers.ddim(gaussian_eps_fn, SCH, x_init, 10,
+                                  clip=None, key=jax.random.PRNGKey(1),
+                                  corrector_steps=3, corrector_t_max=0.0)
+        np.testing.assert_array_equal(np.asarray(gated_off),
+                                      np.asarray(plain))
+        tail_only = samplers.ddim(gaussian_eps_fn, SCH, x_init, 10,
+                                  clip=None, key=jax.random.PRNGKey(1),
+                                  corrector_steps=10, corrector_snr=0.3,
+                                  corrector_t_max=0.5)
+        assert abs(float(tail_only.std()) - 1.0) < 0.2

@@ -479,6 +479,85 @@ def load_cifar10(data_dir: Optional[str] = None,
     return None
 
 
+# 10-class LUT for the procedural CIFAR stand-in: split A (0-4) warm hues,
+# split B (5-9) cool hues, so a composed OR grid is readable at a glance.
+_CIFAR_STANDIN_RGB = np.array(
+    [[0.90, 0.10, 0.10], [0.95, 0.55, 0.10], [0.85, 0.85, 0.10],
+     [0.80, 0.30, 0.55], [0.95, 0.40, 0.35],
+     [0.10, 0.35, 0.90], [0.10, 0.80, 0.80], [0.20, 0.70, 0.25],
+     [0.45, 0.25, 0.85], [0.55, 0.75, 0.95]], np.float32)
+
+
+def synthetic_cifar10(key: Array, n: int, img_size: int = 32
+                      ) -> Tuple[Array, Array]:
+    """Procedural CIFAR-10 STAND-IN (this environment has no network egress
+    and ships no CIFAR binaries). NOT natural images — 10 visually distinct
+    classes (5 shapes x warm/cool palette halves, jittered position/scale,
+    textured background) so the reference's class-split composition
+    experiment (src/composing_colored_mnist.py:321-329: experts on classes
+    0-4 vs 5-9, SUPERDIFF compose) can run end-to-end hermetically.
+
+    Returns (uint8 images (N, S, S, 3), int32 labels) — uint8 so the same
+    tensors round-trip bit-exactly through the CIFAR binary on-disk format
+    (:func:`write_cifar10_binaries` -> :func:`load_cifar10`).
+    """
+    return _build_synthetic_cifar(key, int(n), int(img_size))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _build_synthetic_cifar(key: Array, n: int, img_size: int):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    labels = jnp.arange(n, dtype=jnp.int32) % 10
+    yy, xx = jnp.meshgrid(jnp.arange(img_size, dtype=jnp.float32),
+                          jnp.arange(img_size, dtype=jnp.float32),
+                          indexing="ij")
+    c0 = img_size / 2.0
+    cx = c0 + jax.random.uniform(k1, (n,), minval=-4.0, maxval=4.0)
+    cy = c0 + jax.random.uniform(k2, (n,), minval=-4.0, maxval=4.0)
+    r = jax.random.uniform(k3, (n,), minval=0.22 * img_size,
+                           maxval=0.34 * img_size)
+
+    def one_mask(shape_idx, cx, cy, r):
+        dx, dy = xx - cx, yy - cy
+        ax, ay = jnp.abs(dx), jnp.abs(dy)
+        circle = (dx**2 + dy**2) <= r**2
+        square = (ax <= r * 0.9) & (ay <= r * 0.9)
+        tri = (dy >= -r) & (dy <= r * 0.7) \
+            & (ax * 1.6 <= (dy + r) * 0.85)          # upward wedge
+        ring = (dx**2 + dy**2 <= r**2) & (dx**2 + dy**2 >= (0.55 * r) ** 2)
+        cross = ((ax <= r * 0.35) & (ay <= r)) | ((ay <= r * 0.35)
+                                                  & (ax <= r))
+        masks = jnp.stack([circle, square, tri, ring, cross])
+        return masks[shape_idx].astype(jnp.float32)
+
+    masks = jax.vmap(one_mask)(labels % 5, cx, cy, r)        # (N, S, S)
+    fg = jnp.asarray(_CIFAR_STANDIN_RGB)[labels]             # (N, 3)
+    bright = jax.random.uniform(k4, (n, 1, 1, 1), minval=0.75, maxval=1.0)
+    # textured dark background (CIFAR-ish busyness, keeps experts honest)
+    bg = 0.18 + 0.12 * jax.random.normal(k5, (n, img_size, img_size, 3))
+    img = (masks[..., None] * fg[:, None, None, :] * bright
+           + (1.0 - masks[..., None]) * jnp.clip(bg, 0.0, 0.45))
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8), labels
+
+
+def write_cifar10_binaries(imgs_uint8: np.ndarray, labels: np.ndarray,
+                           out_dir: str, n_batches: int = 5) -> str:
+    """Serialize (N, 32, 32, 3) uint8 + labels into CIFAR-10's on-disk
+    binary-batch format (rows of [label, 3072 x CHW pixels]) under
+    ``out_dir`` — the stand-in then flows through the SAME tested parse
+    path (:func:`load_cifar10`) as real CIFAR binaries would."""
+    imgs = np.asarray(imgs_uint8)
+    labels = np.asarray(labels).astype(np.uint8)
+    assert imgs.dtype == np.uint8 and imgs.shape[1:] == (32, 32, 3)
+    os.makedirs(out_dir, exist_ok=True)
+    rows = np.concatenate(
+        [labels[:, None],
+         imgs.transpose(0, 3, 1, 2).reshape(imgs.shape[0], 3072)], axis=1)
+    for b, chunk in enumerate(np.array_split(rows, n_batches), start=1):
+        chunk.tofile(os.path.join(out_dir, f"data_batch_{b}.bin"))
+    return out_dir
+
+
 # ---------------------------------------------------------------------------
 # Dataset registry (D5 — the reference's get_dataset dispatch,
 # src/compose_grayscale_object_and_color.py:34-110)

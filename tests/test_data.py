@@ -162,6 +162,65 @@ def test_cifar10_parses_binary_batches(tmp_path):
     assert float(imgs.min()) >= -1.0 and float(imgs.max()) <= 1.0
 
 
+def test_synthetic_cifar10_roundtrips_binary_format(key, tmp_path):
+    """Procedural CIFAR stand-in (VERDICT r2 #7): uint8 images round-trip
+    bit-exactly through write_cifar10_binaries -> load_cifar10 (the same
+    parse path a real download would use), classes are balanced, and the
+    warm/cool palette split keeps the two expert halves visually distinct."""
+    raw, lab = data.synthetic_cifar10(key, 40)
+    assert raw.shape == (40, 32, 32, 3) and raw.dtype == jnp.uint8
+    assert np.asarray(jnp.bincount(lab, length=10)).tolist() == [4] * 10
+    d = data.write_cifar10_binaries(np.asarray(raw), np.asarray(lab),
+                                    str(tmp_path / "bin"))
+    out = data.load_cifar10(d)
+    assert out is not None
+    imgs, labels = out
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(lab))
+    np.testing.assert_allclose(
+        np.asarray(imgs),
+        np.asarray(raw, np.float32) / 255.0 * 2.0 - 1.0, atol=1e-6)
+    # split halves are linearly separable in mean hue: warm (R>B) vs cool
+    m = np.asarray(raw, np.float32).mean(axis=(1, 2))  # (N, 3)
+    warm = m[:, 0] - m[:, 2]
+    lab_np = np.asarray(lab)
+    assert warm[lab_np < 5].mean() > warm[lab_np >= 5].mean()
+
+
+def test_mnist_idx_parses_synthetic_ubyte_files(tmp_path):
+    # real-MNIST path (data.load_mnist): synthetic IDX fixtures, gzipped and
+    # raw, mirroring the CIFAR binary-batch test above (VERDICT r2 item 8)
+    import gzip as _gzip
+    import struct as _struct
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (12, 28, 28), dtype=np.uint8)
+    labels = (np.arange(12) % 10).astype(np.uint8)
+    img_hdr = _struct.pack(">IIII", 0x00000803, 12, 28, 28)
+    lab_hdr = _struct.pack(">II", 0x00000801, 12)
+    with _gzip.open(tmp_path / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(img_hdr + imgs.tobytes())
+    (tmp_path / "train-labels-idx1-ubyte").write_bytes(
+        lab_hdr + labels.tobytes())
+    # both files must exist under the SAME extension to be picked up: the
+    # mixed pair above is correctly skipped
+    assert data.load_mnist(str(tmp_path)) is None
+    with _gzip.open(tmp_path / "train-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(lab_hdr + labels.tobytes())
+    out = data.load_mnist(str(tmp_path))
+    assert out is not None
+    got_imgs, got_labels = out
+    assert got_imgs.shape == (12, 28, 28, 1)
+    np.testing.assert_allclose(np.asarray(got_imgs[..., 0]),
+                               imgs.astype(np.float32) / 255.0, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(got_labels), labels)
+    # class filter
+    got_imgs, got_labels = data.load_mnist(str(tmp_path), classes=[3, 7])
+    assert set(np.asarray(got_labels).tolist()) == {3, 7}
+
+
+def test_load_mnist_returns_none_when_absent():
+    assert data.load_mnist("/nonexistent") is None
+
+
 def test_get_dataset_registry(key):
     from composable_diffusion_models_tpu.data import get_dataset
     imgs, labels = get_dataset("mnist", key, n=32, classes=[1, 2])

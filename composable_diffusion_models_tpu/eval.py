@@ -167,13 +167,37 @@ def compositional_scores(model: ProbeClassifier, params: Params,
                          target_labels: Sequence[int]) -> Dict[str, float]:
     """Score composed samples against an intended (factor_0, factor_1, ...)
     combination. ``joint_acc`` on a held-out combination is the
-    compositional-generalization metric."""
-    preds = classify(model, params, samples)
+    compositional-generalization metric.
+
+    Also reports the probe's CONFIDENCE in the target labels
+    (``factor_i_target_prob`` = mean softmax probability of the target
+    class, ``joint_target_prob`` = mean per-sample product): accuracy alone
+    is gameable by off-manifold samples the argmax happens to favor — a
+    high-accuracy/low-margin cell is a red flag that the samples are blobs
+    the probe merely tolerates (VERDICT r2 weak-2)."""
+    logits = _jitted_apply(model)(params, samples)
     out: Dict[str, float] = {}
     joint = jnp.ones(samples.shape[0], bool)
-    for i, (p, tgt) in enumerate(zip(preds, target_labels)):
-        hit = p == tgt
+    joint_p = jnp.ones(samples.shape[0], jnp.float32)
+    for i, (lg, tgt) in enumerate(zip(logits, target_labels)):
+        hit = jnp.argmax(lg, axis=-1) == tgt
+        p_tgt = jax.nn.softmax(lg, axis=-1)[:, tgt]
         out[f"factor_{i}_acc"] = float(jnp.mean(hit))
+        out[f"factor_{i}_target_prob"] = float(jnp.mean(p_tgt))
         joint = joint & hit
+        joint_p = joint_p * p_tgt
     out["joint_acc"] = float(jnp.mean(joint))
+    out["joint_target_prob"] = float(jnp.mean(joint_p))
     return out
+
+
+def joint_hits(model: ProbeClassifier, params: Params, samples: Array,
+               target_labels: Sequence[int]) -> Array:
+    """Per-sample boolean vector: probe assigns EVERY target factor label.
+    Building block for cross-probe agreement (two independently-seeded
+    probes must both credit a sample before it counts)."""
+    preds = classify(model, params, samples)
+    joint = jnp.ones(samples.shape[0], bool)
+    for p, tgt in zip(preds, target_labels):
+        joint = joint & (p == tgt)
+    return joint

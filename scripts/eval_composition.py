@@ -11,6 +11,14 @@ runs); here the deliverable is a JSON metric table where ``joint_acc`` on a
 held-out pair is the generalization score. Supports the shapes (3x3) and
 colored-MNIST (10x3) factored datasets.
 
+Metric hardening (VERDICT r2): ``--probe_seeds 2`` trains a second
+independently-seeded eval probe and reports per-probe accuracy plus
+cross-probe agreement; every score row carries the probe's mean
+target-class probability (margin) so a high-accuracy/low-margin cell is
+visible. ``--holdout_sweep all`` repeats the whole protocol once per
+held-out cell and reports mean/min/max across cells (operator rankings
+from a single cell are single-sample claims).
+
 Example (sanity, ~2 min TPU):
   python scripts/eval_composition.py --sanity
 Full run:
@@ -43,10 +51,23 @@ def main():
                          "colored_mnist (digit x color, 10x3)")
     ap.add_argument("--holdout", default="[[2,2]]",
                     help="JSON list of held-out (factor0, factor1) pairs")
+    ap.add_argument("--holdout_sweep", default=None,
+                    help="sweep the held-out cell: 'all' runs the protocol "
+                         "once per single-cell holdout over every "
+                         "combination; a JSON list (e.g. [[7,2],[3,0]]) "
+                         "sweeps those cells. Overrides --holdout; reports "
+                         "mean/min/max held-out joint accuracy per operator "
+                         "across cells (single-cell rankings are "
+                         "single-sample claims)")
     ap.add_argument("--samples_per_combo", type=int, default=32)
     ap.add_argument("--probe_steps", type=int, default=1200)
     ap.add_argument("--probe_noise", type=float, default=0.1,
                     help="Gaussian noise aug for probe robustness")
+    ap.add_argument("--probe_seeds", type=int, default=1,
+                    help=">1 trains extra independently-seeded eval probes: "
+                         "reports per-probe joint accuracy and cross-probe "
+                         "agreement (a single probe leaves the metric "
+                         "gameable by samples only that probe credits)")
     ap.add_argument("--n_steps", type=int, default=200)
     ap.add_argument("--w_shape", type=float, default=1.0)
     ap.add_argument("--w_color", type=float, default=1.0)
@@ -72,6 +93,15 @@ def main():
                          "proj_cg (projection substitution at strength w[0] "
                          "PLUS probe guidance at scale w[1] — stacks the two "
                          "measured-best held-out levers)")
+    ap.add_argument("--t_switch", type=float, default=None,
+                    help="t-scheduled operators: projection substitution "
+                         "active only at t >= t_switch (the high-noise "
+                         "structure-forming phase), proj_cg's probe "
+                         "guidance active only at t < t_switch (the "
+                         "low-noise refinement phase where the probe's "
+                         "gradients are informative). kappa and guidance "
+                         "needs are t-dependent — this implements "
+                         "'proj early / cfg late'")
     ap.add_argument("--factor0_grayscale", action="store_true",
                     help="train the factor-0 (shape/digit) expert on the "
                          "GRAYSCALE projection of the data — the reference's "
@@ -86,6 +116,15 @@ def main():
                          "the RGB diffusion state is then an EXACT diffusion "
                          "state (plain luma understates the noise level by "
                          "0.67x; see experts.rgb_to_gray)")
+    ap.add_argument("--hue_aug", type=float, default=0.0,
+                    help="with --factor0_grayscale: per-sample random RGB "
+                         "channel gains in [hue_aug, 1] (in [0,1] pixel "
+                         "space) applied BEFORE the luma projection of the "
+                         "factor-0 training data. The gray shape expert "
+                         "then sees every shape at many luma intensities, "
+                         "so the luma a HELD-OUT color produces is "
+                         "in-distribution instead of an unseen brightness "
+                         "level. 0 disables; 0.25 is a reasonable strength")
     ap.add_argument("--corrector_steps", type=int, default=0,
                     help="Langevin (ULA) corrector steps per DDIM level — "
                          "predictor-corrector sampling re-equilibrates "
@@ -96,6 +135,12 @@ def main():
                          "(not ito, which is its own ODE).")
     ap.add_argument("--corrector_snr", type=float, default=0.16,
                     help="signal-to-noise step-size ratio for the corrector")
+    ap.add_argument("--corrector_t_max", type=float, default=1.0,
+                    help="apply the corrector only at noise levels "
+                         "t <= this (the full-range corrector collapsed "
+                         "held-out transfer to 0.00 — "
+                         "artifacts/cg_snr_corrector; the composed score is "
+                         "least gradient-like at high noise)")
     ap.add_argument("--uncond_prob", type=float, default=0.1,
                     help="CFG label-dropout rate for expert training; 0 "
                          "trains plain conditional experts (the measured "
@@ -128,12 +173,14 @@ def main():
         ap.error("--op proj (projection substitution, compose.projected) "
                  "needs --factor0_grayscale --gray_norm so the factor-0 "
                  "expert estimates exactly P eps")
+    if args.hue_aug and not args.factor0_grayscale:
+        ap.error("--hue_aug augments the factor-0 GRAYSCALE training data; "
+                 "it needs --factor0_grayscale")
     weight_grid_pre = (json.loads(args.weight_grid) if args.weight_grid
                        else [[args.w_shape, args.w_color]])
     if "avg" in args.op.split(",") and any(sum(w) == 0 for w in weight_grid_pre):
         ap.error("avg weights must not sum to 0 (compose.weighted divides "
                  "by sum(w); fail fast — expert training costs minutes)")
-    holdout = [tuple(h) for h in json.loads(args.holdout)]
     key = jax.random.PRNGKey(args.seed)
     size = cfg.data.img_size
     schedule = VPSchedule(kind=cfg.schedule.kind)
@@ -145,26 +192,44 @@ def main():
     if args.dataset == "shapes":
         n_classes = (3, 3)
         full_imgs, full_s, full_c = data.make_shapes_dataset(cfg.data.n, size)
-        held_imgs, held_s, held_c = data.make_shapes_dataset(
-            cfg.data.n, size, holdout=holdout)
+
+        def held_data(holdout):
+            return data.make_shapes_dataset(cfg.data.n, size, holdout=holdout)
     else:  # colored_mnist: digit x random color (D6/D7)
         n_classes = (10, 3)
         size = 28
         full_imgs, full_s, full_c = data.colored_mnist(
             jax.random.fold_in(key, 7), cfg.data.n, color_rule="random")
-        held_imgs, held_s, held_c = data.colored_mnist(
-            jax.random.fold_in(key, 7), cfg.data.n, color_rule="random",
-            holdout=holdout)
 
-    # probe on the FULL data (it must know what held-out combos look like)
-    print("training probe classifier ...")
-    probe, probe_params = ceval.train_probe(
-        jax.random.fold_in(key, 1), full_imgs, (full_s, full_c),
-        num_classes=n_classes, steps=args.probe_steps,
-        noise_aug=args.probe_noise)
-    sanity = ceval.probe_accuracy(probe, probe_params, full_imgs[:512],
-                                  (full_s[:512], full_c[:512]))
-    print(f"probe held-in accuracy: {sanity}")
+        def held_data(holdout):
+            return data.colored_mnist(jax.random.fold_in(key, 7), cfg.data.n,
+                                      color_rule="random", holdout=holdout)
+
+    # holdout cells: a single run (the --holdout list) or a sweep of
+    # single-cell holdouts
+    if args.holdout_sweep:
+        if args.holdout_sweep.strip() == "all":
+            cells = [[(s, c)] for s in range(n_classes[0])
+                     for c in range(n_classes[1])]
+        else:
+            cells = [[tuple(p)] for p in json.loads(args.holdout_sweep)]
+    else:
+        cells = [[tuple(h) for h in json.loads(args.holdout)]]
+
+    # eval probe(s) on the FULL data (they must know what held-out combos
+    # look like); extra seeds give independent verdicts on the same samples
+    probes = []
+    for i in range(args.probe_seeds):
+        print(f"training eval probe {i} ...")
+        pm, pp = ceval.train_probe(
+            jax.random.fold_in(key, 1 + 1000 * i), full_imgs,
+            (full_s, full_c), num_classes=n_classes, steps=args.probe_steps,
+            noise_aug=args.probe_noise)
+        sanity = ceval.probe_accuracy(pm, pp, full_imgs[:512],
+                                      (full_s[:512], full_c[:512]))
+        print(f"probe {i} held-in accuracy: {sanity}")
+        probes.append((pm, pp))
+    probe, probe_params = probes[0]
 
     # experts: same architecture, same (holdout-filtered) RGB data, each
     # conditioned on ONE factor — composition is the weighted score average
@@ -174,8 +239,7 @@ def main():
     from composable_diffusion_models_tpu.experts import (gray_to_rgb,
                                                          rgb_to_gray)
     f0_ch = 1 if args.factor0_grayscale else 3
-    f0_imgs = (rgb_to_gray(held_imgs, normalized=args.gray_norm)
-               if args.factor0_grayscale else held_imgs)
+
     def expert_model(in_ch, n_cls):
         # honor --model.kind so the DiT backbone runs the same protocol
         # (models/dit.py is apply-compatible with UNet)
@@ -191,58 +255,76 @@ def main():
 
     shape_model = expert_model(f0_ch, n_classes[0])
     color_model = expert_model(3, n_classes[1])
-    lab0 = jnp.zeros((1,), jnp.int32)
-    print(f"training factor-0 expert ({'gray' if f0_ch == 1 else 'RGB'} "
-          "| shape/digit) ...")
-    sp, sl_losses = train.train_expert(
-        jax.random.fold_in(key, 2), shape_model.apply,
-        shape_model.init(key, jnp.zeros((1, size, size, f0_ch)),
-                         jnp.ones((1,)), lab0),
-        schedule, f0_imgs, (held_s,), steps=cfg.train.steps,
-        batch_size=cfg.train.batch_size, lr=cfg.train.lr,
-        uncond_prob=args.uncond_prob, null_labels=(n_classes[0],),
-        ema_decay=cfg.train.ema_decay or None,
-        snr_gamma=cfg.train.snr_gamma or None)
-    print(f"  final loss {float(sl_losses[-1]):.4f}")
-    print("training factor-1 expert (RGB | color) ...")
-    cp, cl_losses = train.train_expert(
-        jax.random.fold_in(key, 3), color_model.apply,
-        color_model.init(key, jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
-                         lab0),
-        schedule, held_imgs, (held_c,), steps=cfg.train.steps,
-        batch_size=cfg.train.batch_size, lr=cfg.train.lr,
-        uncond_prob=args.uncond_prob, null_labels=(n_classes[1],),
-        ema_decay=cfg.train.ema_decay or None,
-        snr_gamma=cfg.train.snr_gamma or None)
-    print(f"  final loss {float(cl_losses[-1]):.4f}")
-
-    weight_grid = (json.loads(args.weight_grid) if args.weight_grid
-                   else [[args.w_shape, args.w_color]])
+    need_gprobe = bool({"cg", "proj_cg"} & set(args.op.split(",")))
     bs = args.samples_per_combo
-
     null_s = jnp.full((bs,), n_classes[0], jnp.int32)
     null_c = jnp.full((bs,), n_classes[1], jnp.int32)
+    gprobe_model = ceval.ProbeClassifier(n_classes) if need_gprobe else None
+    t_switch = args.t_switch
 
-    gprobe = gprobe_params = None
-    if {"cg", "proj_cg"} & set(args.op.split(",")):
-        # classifier-guidance probe: trained on the SAME holdout-filtered
-        # data the experts see (no leakage of held-out combos — unlike the
-        # eval probe above, which must know them to score them), VP-noised
-        # across t so its log p(y | x_t) gradients are meaningful along the
-        # whole sampling trajectory. Its per-factor heads are independent,
-        # so guidance toward a held-out (shape, color) pair is itself
-        # compositional: grad log p(y_s|x) + grad log p(y_c|x).
-        print("training guidance probe (holdout-filtered, VP-noised) ...")
-        gprobe, gprobe_params = ceval.train_probe(
-            jax.random.fold_in(key, 7), held_imgs, (held_s, held_c),
-            num_classes=n_classes, steps=args.probe_steps,
-            vp_schedule=schedule)
+    def train_experts(held_imgs, held_s, held_c, cell_idx):
+        """Train the two single-factor experts for one holdout setting.
+        Expert params are returned (traced args of _sample below), so a
+        holdout sweep reuses the op's ONE compiled sampler per cell."""
+        kc = jax.random.fold_in(key, 50 + cell_idx)
+        f0_src = held_imgs
+        if args.hue_aug > 0.0:
+            # random per-sample channel gains in [0,1] pixel space: the
+            # black background stays black, the shape's luma level varies
+            gains = jax.random.uniform(
+                jax.random.fold_in(kc, 5), (held_imgs.shape[0], 1, 1, 3),
+                minval=args.hue_aug, maxval=1.0)
+            f0_src = ((held_imgs + 1.0) * 0.5 * gains) * 2.0 - 1.0
+        f0_imgs = (rgb_to_gray(f0_src, normalized=args.gray_norm)
+                   if args.factor0_grayscale else held_imgs)
+        lab0 = jnp.zeros((1,), jnp.int32)
+        print(f"training factor-0 expert ({'gray' if f0_ch == 1 else 'RGB'} "
+              "| shape/digit) ...")
+        sp, sl_losses = train.train_expert(
+            jax.random.fold_in(kc, 2), shape_model.apply,
+            shape_model.init(key, jnp.zeros((1, size, size, f0_ch)),
+                             jnp.ones((1,)), lab0),
+            schedule, f0_imgs, (held_s,), steps=cfg.train.steps,
+            batch_size=cfg.train.batch_size, lr=cfg.train.lr,
+            uncond_prob=args.uncond_prob, null_labels=(n_classes[0],),
+            ema_decay=cfg.train.ema_decay or None,
+            snr_gamma=cfg.train.snr_gamma or None)
+        print(f"  final loss {float(sl_losses[-1]):.4f}")
+        print("training factor-1 expert (RGB | color) ...")
+        cp, cl_losses = train.train_expert(
+            jax.random.fold_in(kc, 3), color_model.apply,
+            color_model.init(key, jnp.zeros((1, size, size, 3)),
+                             jnp.ones((1,)), lab0),
+            schedule, held_imgs, (held_c,), steps=cfg.train.steps,
+            batch_size=cfg.train.batch_size, lr=cfg.train.lr,
+            uncond_prob=args.uncond_prob, null_labels=(n_classes[1],),
+            ema_decay=cfg.train.ema_decay or None,
+            snr_gamma=cfg.train.snr_gamma or None)
+        print(f"  final loss {float(cl_losses[-1]):.4f}")
+
+        gpp = None
+        if need_gprobe:
+            # classifier-guidance probe: trained on the SAME holdout-filtered
+            # data the experts see (no leakage of held-out combos — unlike
+            # the eval probe above, which must know them to score them),
+            # VP-noised across t so its log p(y | x_t) gradients are
+            # meaningful along the whole sampling trajectory. Its per-factor
+            # heads are independent, so guidance toward a held-out
+            # (shape, color) pair is itself compositional:
+            # grad log p(y_s|x) + grad log p(y_c|x).
+            print("training guidance probe (holdout-filtered, VP-noised) ...")
+            _, gpp = ceval.train_probe(
+                jax.random.fold_in(kc, 7), held_imgs, (held_s, held_c),
+                num_classes=n_classes, steps=args.probe_steps,
+                vp_schedule=schedule)
+        return sp, cp, gpp
 
     @functools.partial(jax.jit, static_argnames=("op",))
-    def _sample(sl, cl, weights, k, op):
-        # labels are traced args: ONE compile per operator covers every
-        # combo. The cond+null fan-out folds into the batch axis (one 2B
-        # forward per expert — the reference's "highly efficient" layout,
+    def _sample(sp, cp, gpp, sl, cl, weights, k, op):
+        # labels, weights AND expert params are traced args: ONE compile per
+        # operator covers every combo and every holdout cell of a sweep.
+        # The cond+null fan-out folds into the batch axis (one 2B forward
+        # per expert — the reference's "highly efficient" layout,
         # cross_attention.py:282-292).
         def apply_f0(params, x, t, labels):
             # grayscale protocol: project the RGB state, lift eps back.
@@ -274,25 +356,26 @@ def main():
                 (shape_score, color_score), schedule,
                 jax.random.fold_in(k, 1), x_init, args.n_steps)
 
+        def proj_strength(t):
+            # t-scheduled projection: active in the high-noise
+            # structure-forming phase (t >= t_switch) when scheduled
+            if t_switch is None:
+                return weights[0]
+            return weights[0] * (t >= t_switch)
+
         def eps_fn(x, t):
-            if op == "proj_cg":
-                # projection substitution at strength weights[0]; the probe
-                # guidance wrapper below adds grad log p(y|x_t) at scale
-                # weights[1] — the color-blind consistent-noise composition
-                # plus an explicit pull toward the (held-out) label pair
-                e_c = color_model.apply(cp, x, t, cl)
-                e_s = shape_model.apply(
-                    sp, rgb_to_gray(x, normalized=True), t, sl)
-                return compose.projected(e_c, e_s, weights[0])
-            if op == "proj":
+            if op in ("proj", "proj_cg"):
                 # projection substitution (compose.projected): the gray
                 # expert replaces exactly the luma noise component; the
                 # chrominance stays with the color expert. weights[0] is
-                # the substitution/steer strength.
+                # the substitution/steer strength. For proj_cg the probe
+                # guidance wrapper below adds grad log p(y|x_t) at scale
+                # weights[1] — the color-blind consistent-noise composition
+                # plus an explicit pull toward the (held-out) label pair.
                 e_c = color_model.apply(cp, x, t, cl)
                 e_s = shape_model.apply(
                     sp, rgb_to_gray(x, normalized=True), t, sl)
-                return compose.projected(e_c, e_s, weights[0])
+                return compose.projected(e_c, e_s, proj_strength(t))
             if op == "proj_cfg":
                 # CFG inside each expert (guidance strengths = weights),
                 # THEN projection substitution at weight 1 — stacks the
@@ -327,24 +410,32 @@ def main():
 
         if op in ("cg", "proj_cg"):
             def logp_fn(x, t):
-                lg_s, lg_c = gprobe.apply(gprobe_params, x)
+                lg_s, lg_c = gprobe_model.apply(gpp, x)
                 rows = jnp.arange(bs)
                 return (jax.nn.log_softmax(lg_s, axis=-1)[rows, sl]
                         + jax.nn.log_softmax(lg_c, axis=-1)[rows, cl])
+
+            if op == "proj_cg" and t_switch is not None:
+                # 'proj early / cfg late': guidance only in the low-noise
+                # refinement phase where the probe's gradients are
+                # informative on nearly-clean structure
+                def scale(t):
+                    return weights[1] * (t < t_switch)
+            else:
+                scale = weights[0] if op == "cg" else weights[1]
             eps_fn = samplers.make_classifier_guided_eps_fn(
-                eps_fn, schedule, logp_fn,
-                scale=weights[0] if op == "cg" else weights[1])
+                eps_fn, schedule, logp_fn, scale=scale)
 
         x_init = jax.random.normal(k, (bs, size, size, 3))
         return samplers.ddim(eps_fn, schedule, x_init, args.n_steps,
                              key=jax.random.fold_in(k, 999),
                              corrector_steps=args.corrector_steps,
-                             corrector_snr=args.corrector_snr)
+                             corrector_snr=args.corrector_snr,
+                             corrector_t_max=args.corrector_t_max)
 
     from composable_diffusion_models_tpu.utils.viz import save_grid
-    full_report = {"holdout": [list(h) for h in holdout],
-                   "dataset": args.dataset,
-                   "weight_grid": weight_grid, "ops": {}}
+    weight_grid = weight_grid_pre
+
     def canonical(op, wpair):
         # settings that provably produce identical samples: ito ignores the
         # weights entirely; compose.weighted normalizes by sum(w), so
@@ -359,62 +450,132 @@ def main():
             return (op, wpair[0])  # strength/scale only; w[1] unused
         return (op,) + tuple(wpair)
 
-    seen_settings = set()
-    for op in args.op.split(","):
-        for wpair in weight_grid:
-            key_c = canonical(op, wpair)
-            if key_c in seen_settings:
-                print(f"skip {op} w={wpair}: identical to an evaluated "
-                      "setting (ito ignores weights; avg is scale-invariant)")
-                continue
-            seen_settings.add(key_c)
-            weights = jnp.asarray(wpair, jnp.float32)
-            wtag = (f"{op}" if len(weight_grid) == 1
-                    else f"{op}_w{wpair[0]:g}x{wpair[1]:g}")
-            report = {"combos": {}, "weights": list(wpair)}
-            grids = []
-            print(f"--- operator: {wtag} ---")
-            for s_lab in range(n_classes[0]):
-                for c_lab in range(n_classes[1]):
-                    samples = _sample(
-                        jnp.full((bs,), s_lab, jnp.int32),
-                        jnp.full((bs,), c_lab, jnp.int32), weights,
-                        jax.random.fold_in(key,
-                                           10 + s_lab * n_classes[1] + c_lab),
-                        op)
-                    grids.append(samples[:4])
-                    scores = ceval.compositional_scores(
-                        probe, probe_params, samples, (s_lab, c_lab))
-                    scores["held_out"] = (s_lab, c_lab) in holdout
-                    report["combos"][f"{s_lab},{c_lab}"] = scores
-                    tag = " (HELD OUT)" if scores["held_out"] else ""
-                    print(f"shape={s_lab} color={c_lab}{tag}: "
-                          f"joint_acc={scores['joint_acc']:.3f} "
-                          f"shape_acc={scores['factor_0_acc']:.3f} "
-                          f"color_acc={scores['factor_1_acc']:.3f}")
+    def evaluate_cell(holdout, cell_idx):
+        """The full per-holdout protocol: train experts on the filtered
+        data, sample every combo under every operator setting, score."""
+        held_imgs, held_s, held_c = held_data(holdout)
+        sp, cp, gpp = train_experts(held_imgs, held_s, held_c, cell_idx)
+        gpp_arg = gpp if gpp is not None else jnp.zeros(())
+        ops_report = {}
+        seen_settings = set()
+        cell_tag = ("" if len(cells) == 1
+                    else "cell" + "_".join(f"{h[0]}-{h[1]}" for h in holdout)
+                    + "_")
+        for op in args.op.split(","):
+            for wpair in weight_grid:
+                key_c = canonical(op, wpair)
+                if key_c in seen_settings:
+                    print(f"skip {op} w={wpair}: identical to an evaluated "
+                          "setting (ito ignores weights; avg is "
+                          "scale-invariant)")
+                    continue
+                seen_settings.add(key_c)
+                weights = jnp.asarray(wpair, jnp.float32)
+                wtag = (f"{op}" if len(weight_grid) == 1
+                        else f"{op}_w{wpair[0]:g}x{wpair[1]:g}")
+                report = {"combos": {}, "weights": list(wpair)}
+                grids = []
+                print(f"--- operator: {wtag} ---")
+                for s_lab in range(n_classes[0]):
+                    for c_lab in range(n_classes[1]):
+                        sl = jnp.full((bs,), s_lab, jnp.int32)
+                        cl = jnp.full((bs,), c_lab, jnp.int32)
+                        samples = _sample(
+                            sp, cp, gpp_arg, sl, cl, weights,
+                            jax.random.fold_in(
+                                key, 10 + s_lab * n_classes[1] + c_lab),
+                            op)
+                        grids.append(samples[:4])
+                        scores = ceval.compositional_scores(
+                            probe, probe_params, samples, (s_lab, c_lab))
+                        hits0 = None
+                        for pi, (pm, pp) in enumerate(probes[1:], start=2):
+                            s2 = ceval.compositional_scores(
+                                pm, pp, samples, (s_lab, c_lab))
+                            scores[f"probe{pi}_joint_acc"] = s2["joint_acc"]
+                            scores[f"probe{pi}_joint_target_prob"] = (
+                                s2["joint_target_prob"])
+                            if hits0 is None:
+                                hits0 = ceval.joint_hits(
+                                    probe, probe_params, samples,
+                                    (s_lab, c_lab))
+                            h2 = ceval.joint_hits(pm, pp, samples,
+                                                  (s_lab, c_lab))
+                            scores[f"joint_acc_agree_p{pi}"] = float(
+                                jnp.mean(hits0 & h2))
+                        scores["held_out"] = (s_lab, c_lab) in holdout
+                        report["combos"][f"{s_lab},{c_lab}"] = scores
+                        tag = " (HELD OUT)" if scores["held_out"] else ""
+                        print(f"shape={s_lab} color={c_lab}{tag}: "
+                              f"joint_acc={scores['joint_acc']:.3f} "
+                              f"shape_acc={scores['factor_0_acc']:.3f} "
+                              f"color_acc={scores['factor_1_acc']:.3f} "
+                              f"margin={scores['joint_target_prob']:.3f}")
 
-            held = [v["joint_acc"] for v in report["combos"].values()
-                    if v["held_out"]]
-            seen = [v["joint_acc"] for v in report["combos"].values()
-                    if not v["held_out"]]
-            report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
-            report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
-            grid_path = save_grid(
-                jnp.concatenate(grids, axis=0),
-                f"{mgr.results_dir}/eval_samples_grid_"
-                f"{args.dataset}_{args.op.replace(',', '-')}_{wtag}.png",
-                nrow=12)
-            print(f"[{wtag}] held-out joint acc "
-                  f"{report['heldout_joint_acc']:.3f} "
-                  f"| seen joint acc {report['seen_joint_acc']:.3f} "
-                  f"| grid {grid_path}")
-            full_report["ops"][wtag] = report
+                held = [v["joint_acc"] for v in report["combos"].values()
+                        if v["held_out"]]
+                seen = [v["joint_acc"] for v in report["combos"].values()
+                        if not v["held_out"]]
+                report["heldout_joint_acc"] = sum(held) / max(len(held), 1)
+                report["seen_joint_acc"] = sum(seen) / max(len(seen), 1)
+                grid_path = save_grid(
+                    jnp.concatenate(grids, axis=0),
+                    f"{mgr.results_dir}/eval_samples_grid_"
+                    f"{args.dataset}_{args.op.replace(',', '-')}_"
+                    f"{cell_tag}{wtag}.png",
+                    nrow=12)
+                print(f"[{cell_tag}{wtag}] held-out joint acc "
+                      f"{report['heldout_joint_acc']:.3f} "
+                      f"| seen joint acc {report['seen_joint_acc']:.3f} "
+                      f"| grid {grid_path}")
+                ops_report[wtag] = report
+        return ops_report
+
+    optag = args.op.replace(",", "-")
+    if len(cells) == 1:
+        full_report = {"holdout": [list(h) for h in cells[0]],
+                       "dataset": args.dataset,
+                       "weight_grid": weight_grid,
+                       "t_switch": t_switch, "hue_aug": args.hue_aug,
+                       "probe_seeds": args.probe_seeds,
+                       "ops": evaluate_cell(cells[0], 0)}
+        path = (f"{mgr.results_dir}/compositional_eval_{args.dataset}_"
+                f"{optag}.json")
+    else:
+        # holdout sweep: per-cell reports + mean/min/max per operator
+        full_report = {"sweep_cells": [[list(h) for h in c] for c in cells],
+                       "dataset": args.dataset, "weight_grid": weight_grid,
+                       "t_switch": t_switch, "hue_aug": args.hue_aug,
+                       "probe_seeds": args.probe_seeds,
+                       "cells": {}, "aggregate": {}}
+        for i, holdout in enumerate(cells):
+            ctag = ",".join(f"{h[0]}-{h[1]}" for h in holdout)
+            print(f"===== holdout cell {ctag} ({i + 1}/{len(cells)}) =====")
+            full_report["cells"][ctag] = evaluate_cell(holdout, i)
+        for wtag in next(iter(full_report["cells"].values())):
+            held = [c[wtag]["heldout_joint_acc"]
+                    for c in full_report["cells"].values() if wtag in c]
+            seen = [c[wtag]["seen_joint_acc"]
+                    for c in full_report["cells"].values() if wtag in c]
+            full_report["aggregate"][wtag] = {
+                "heldout_joint_acc_mean": sum(held) / len(held),
+                "heldout_joint_acc_min": min(held),
+                "heldout_joint_acc_max": max(held),
+                "seen_joint_acc_mean": sum(seen) / len(seen),
+                "n_cells": len(held),
+            }
+            a = full_report["aggregate"][wtag]
+            print(f"[sweep {wtag}] held-out joint "
+                  f"{a['heldout_joint_acc_mean']:.3f} "
+                  f"(min {a['heldout_joint_acc_min']:.3f}, "
+                  f"max {a['heldout_joint_acc_max']:.3f}, "
+                  f"n={a['n_cells']})")
+        path = (f"{mgr.results_dir}/compositional_sweep_{args.dataset}_"
+                f"{optag}.json")
 
     # dataset+op-tagged so successive invocations sharing an --out dir (the
     # orchestration scripts run shapes then colored-MNIST, or avg,ito then
     # avg,cfg) never overwrite each other's reports
-    optag = args.op.replace(",", "-")
-    path = f"{mgr.results_dir}/compositional_eval_{args.dataset}_{optag}.json"
     with open(path, "w") as f:
         json.dump(full_report, f, indent=2)
     print(f"report saved to {path}")

@@ -22,7 +22,7 @@ echo "=== DiT proj+proj_cg: colored-MNIST holdout eval ==="
 python scripts/eval_composition.py --model.kind=dit --dataset colored_mnist \
     --train.steps=$STEPS --train.snr_gamma=0 --samples_per_combo 64 \
     --n_steps 100 --op proj,proj_cg --uncond_prob 0.1 --factor0_grayscale \
-    --gray_norm --weight_grid "[[2,1],[2,3],[2,10]]" --holdout "[[7,2]]" \
+    --gray_norm --weight_grid "[[2,1],[2,3],[1,3]]" --holdout "[[7,2]]" \
     --probe_steps 2000 --out outputs/dit_proj_cm
 
 echo "DiT proj_cg runs complete"

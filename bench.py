@@ -49,7 +49,8 @@ def gflop_per_image(base_dim: int, img_size: int, pad_to: int) -> float:
 
 
 def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
-          use_pallas: bool = False, img_size: int = 28, pad_to: int = 0):
+          use_pallas: bool = False, img_size: int = 28, pad_to: int = 0,
+          n_steps: int = 50):
     key = jax.random.PRNGKey(0)
     # compute dtype bf16 end-to-end (flax modules cast params + activations;
     # without the model-level dtype the first GroupNorm silently upcasts the
@@ -75,15 +76,16 @@ def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
     def sample(key):
         x_init = jax.random.normal(key, (batch_size, img_size, img_size, 1),
                                    jnp.float32)
-        return samplers.ddim(eps_fn, schedule, x_init, 50)
+        return samplers.ddim(eps_fn, schedule, x_init, n_steps)
 
     return sample
 
 
 def run(batch_size: int, base_dim: int, iters: int = 5,
-        use_pallas: bool = False, img_size: int = 28, pad_to: int = 0):
+        use_pallas: bool = False, img_size: int = 28, pad_to: int = 0,
+        n_steps: int = 50):
     sample = build(batch_size, base_dim, use_pallas=use_pallas,
-                   img_size=img_size, pad_to=pad_to)
+                   img_size=img_size, pad_to=pad_to, n_steps=n_steps)
     key = jax.random.PRNGKey(1)
 
     def sync(out):
@@ -216,9 +218,12 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
 def measure_shapes_throughput(iters: int = 3, bs: int = 128,
                               base_dim: int = 64, img_size: int = 64,
                               n_steps: int = 50) -> float:
-    """Secondary benchmark (reported in "extra"): shapes 64x64 RGB, 50-step
-    DDIM, 2 conditional experts (the compose_images_ddim workload at
-    production image size)."""
+    """Secondary benchmark (reported in "extra"): the compose_images_ddim
+    workload — RGB conditional 2-expert DDIM composition. Defaults define
+    the recorded metric (64x64, 50 steps, base 64); the shape parameters
+    exist for CPU smoke tests only, and img_size must be divisible by 4
+    (channel_mults=(1,2,4) downsamples twice)."""
+    assert img_size % 4 == 0, "channel_mults=(1,2,4) needs img_size % 4 == 0"
     key = jax.random.PRNGKey(0)
     model = UNet(in_channels=3, base_dim=base_dim, channel_mults=(1, 2, 4),
                  num_classes=(3,), dtype=jnp.bfloat16)
@@ -270,6 +275,11 @@ def main():
                     help="compute on a zero-padded square canvas of this "
                          "size (e.g. 32): same 28x28 images in/out, all "
                          "spatial dims 8-aligned for the conv emitter")
+    ap.add_argument("--skip_extras", action="store_true",
+                    help="measure only the headline MNIST sampler program "
+                         "(skip train/shapes/DiT secondaries) — for "
+                         "candidate-width sweeps where only the headline "
+                         "path varies; extras report 0.0")
     args = ap.parse_args()
 
     # Fail fast (and legibly) when the tunneled TPU is unreachable: a hung
@@ -306,9 +316,12 @@ def main():
             best_ips, best_bs, best_t = ips, bs, t
 
     steps_per_sec = 50.0 / best_t if best_t else 0.0
-    train_ips = measure_train_throughput(args.base_dim)
-    shapes_ips = measure_shapes_throughput()
-    dit_ips = measure_dit_throughput()
+    if args.skip_extras:
+        train_ips = shapes_ips = dit_ips = 0.0
+    else:
+        train_ips = measure_train_throughput(args.base_dim)
+        shapes_ips = measure_shapes_throughput()
+        dit_ips = measure_dit_throughput()
     dit_tflops = dit_ips * dit_gflop_per_image() / 1e3
     # progress against the physics ceiling, not just the target number:
     # implied TF/s = analytic FLOPs/image x img/s; MFU = that / chip peak

@@ -61,22 +61,28 @@ def main():
     ap.add_argument("--base_dim", type=int, default=64)
     ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--img", type=int, default=28)
+    ap.add_argument("--in_ch", type=int, default=1,
+                    help="3 + --img 64 profiles the shapes-64 secondary "
+                         "bench workload (VERDICT r2 #4)")
+    ap.add_argument("--experts", type=int, default=3)
     add_runtime_flags(ap)
     args, _ = ap.parse_known_args()
     apply_runtime_flags(args)
 
     bs, bd, img = args.bs, args.base_dim, args.img
+    cin0, n_exp = args.in_ch, args.experts
     dt = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     rows = []  # (name, sec, flops)
 
-    model = UNet(in_channels=1, base_dim=bd, channel_mults=(1, 2, 4), dtype=dt)
-    x0 = jnp.zeros((1, img, img, 1))
+    model = UNet(in_channels=cin0, base_dim=bd, channel_mults=(1, 2, 4),
+                 dtype=dt)
+    x0 = jnp.zeros((1, img, img, cin0))
     params = jax.tree_util.tree_map(
         lambda p: p.astype(dt), model.init(key, x0, jnp.ones((1,))))
 
     # ---- full eps forward (1 expert) + full 3-expert blend ---------------
-    x = jax.random.normal(key, (bs, img, img, 1), dt)
+    x = jax.random.normal(key, (bs, img, img, cin0), dt)
     t = jnp.full((1,), 0.5, dt)
     sec_fwd = timed_scan(lambda xx: model.apply(params, xx, t), (x,),
                          args.reps)
@@ -85,13 +91,13 @@ def main():
     params3 = [jax.tree_util.tree_map(
         lambda p: p.astype(dt),
         model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,))))
-        for i in range(3)]
+        for i in range(n_exp)]
     stack = experts.ExpertStack(model.apply, params3)
-    w3 = jnp.ones((3,), jnp.float32)
+    w3 = jnp.ones((n_exp,), jnp.float32)
     sec_3x = timed_scan(
         lambda xx: compose.weighted(stack(xx, t).astype(jnp.float32), w3)
         .astype(dt), (x,), args.reps)
-    rows.append(("3-expert blended eps", sec_3x, None))
+    rows.append((f"{n_exp}-expert blended eps", sec_3x, None))
 
     # ---- components at the step's actual shapes --------------------------
     h1 = img, img, bd          # level 0
@@ -104,17 +110,18 @@ def main():
     # init conv 1 -> 64
     import flax.linen as nn
     conv = nn.Conv(bd, (3, 3), padding="SAME", dtype=dt)
-    cp = conv.init(key, rand((img, img, 1)))
-    sec = timed_scan(lambda xx: conv.apply(cp, xx), (rand((img, img, 1)),),
-                     args.reps)
-    rows.append(("init conv 1->64 @28", sec, conv_flops(bs, img, img, 1, bd)))
+    cp = conv.init(key, rand((img, img, cin0)))
+    sec = timed_scan(lambda xx: conv.apply(cp, xx),
+                     (rand((img, img, cin0)),), args.reps)
+    rows.append((f"init conv {cin0}->{bd} @{img}", sec,
+                 conv_flops(bs, img, img, cin0, bd)))
 
     # representative convs
     for (name, hh, cin, cout) in [
-        ("conv 64->64 @28", img, bd, bd),
-        ("conv 64->128 @14", img // 2, bd, 2 * bd),
-        ("conv 128->256 @7", img // 4, 2 * bd, 4 * bd),
-        ("conv 256->256 @7", img // 4, 4 * bd, 4 * bd),
+        (f"conv {bd}->{bd} @{img}", img, bd, bd),
+        (f"conv {bd}->{2*bd} @{img//2}", img // 2, bd, 2 * bd),
+        (f"conv {2*bd}->{4*bd} @{img//4}", img // 4, 2 * bd, 4 * bd),
+        (f"conv {4*bd}->{4*bd} @{img//4}", img // 4, 4 * bd, 4 * bd),
     ]:
         c = nn.Conv(cout, (3, 3), padding="SAME", dtype=dt)
         cp = c.init(key, rand((hh, hh, cin)))
@@ -126,7 +133,7 @@ def main():
     gn = GNSiLU(dtype=dt)
     gp = gn.init(key, rand(h1))
     sec = timed_scan(lambda xx: gn.apply(gp, xx), (rand(h1),), args.reps)
-    rows.append(("GN+SiLU 64 @28", sec, None))
+    rows.append((f"GN+SiLU {bd} @{img}", sec, None))
 
     # ---- ceiling probes: what does the emitter sustain at the sampler's
     # dominant shape, bare vs with the pre-norm pass interleaved? Round 1
@@ -139,20 +146,20 @@ def main():
     sec = timed_scan(
         lambda xx: cbare.apply(cbp, cbare.apply(cbp, xx)),
         (rand((img, img, bd)),), args.reps)
-    rows.append(("conv2x bare 64->64 @28", sec,
+    rows.append((f"conv2x bare {bd}->{bd} @{img}", sec,
                  2 * conv_flops(bs, img, img, bd, bd)))
     sec = timed_scan(
         lambda xx: cbare.apply(cbp, gn.apply(gp, cbare.apply(cbp, xx))),
         (rand((img, img, bd)),), args.reps)
-    rows.append(("conv2x + GN between @28", sec,
+    rows.append((f"conv2x + GN between @{img}", sec,
                  2 * conv_flops(bs, img, img, bd, bd)))
 
     # resblocks (standalone, matching down path)
     t_emb = jax.random.normal(key, (1, 256), dt)
     for (name, hh, cin, cout) in [
-        ("ResBlock 64->64 @28", img, bd, bd),
-        ("ResBlock 64->128 @14", img // 2, bd, 2 * bd),
-        ("ResBlock 128->256 @7", img // 4, 2 * bd, 4 * bd),
+        (f"ResBlock {bd}->{bd} @{img}", img, bd, bd),
+        (f"ResBlock {bd}->{2*bd} @{img//2}", img // 2, bd, 2 * bd),
+        (f"ResBlock {2*bd}->{4*bd} @{img//4}", img // 4, 2 * bd, 4 * bd),
     ]:
         rb = ResBlock(cout, dtype=dt)
         rp = jax.tree_util.tree_map(
@@ -165,10 +172,10 @@ def main():
     # upsample matmuls
     sec = timed_scan(_upsample2x, (rand((img // 4, img // 4, 4 * bd)),),
                      args.reps)
-    rows.append(("upsample 7->14 @256", sec, None))
+    rows.append((f"upsample {img//4}->{img//2} @{4*bd}", sec, None))
     sec = timed_scan(_upsample2x, (rand((img // 2, img // 2, 2 * bd)),),
                      args.reps)
-    rows.append(("upsample 14->28 @128", sec, None))
+    rows.append((f"upsample {img//2}->{img} @{2*bd}", sec, None))
 
     # full 50-step DDIM sample / image throughput cross-check
     schedule = VPSchedule()
@@ -179,7 +186,7 @@ def main():
 
     @jax.jit
     def sample(k):
-        xi = jax.random.normal(k, (bs, img, img, 1), jnp.float32)
+        xi = jax.random.normal(k, (bs, img, img, cin0), jnp.float32)
         return samplers.ddim(eps_fn, schedule, xi, 50)
 
     float(sample(key).ravel()[0])
@@ -193,9 +200,9 @@ def main():
 
     # ---- table -----------------------------------------------------------
     step_sec = sec_3x  # one composed eps evaluation = the DDIM step's compute
-    print(f"\nbs={bs} base_dim={bd} img={img} reps={args.reps} "
-          f"device={jax.devices()[0]}")
-    print(f"\n| op | ms | TF/s | % of 3-expert eps step |")
+    print(f"\nbs={bs} base_dim={bd} img={img} in_ch={cin0} "
+          f"experts={n_exp} reps={args.reps} device={jax.devices()[0]}")
+    print(f"\n| op | ms | TF/s | % of {n_exp}-expert eps step |")
     print("|---|---|---|---|")
     for name, sec, fl in rows:
         tf = f"{fl / sec / 1e12:.1f}" if fl else "-"

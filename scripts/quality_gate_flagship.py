@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Quality gate for FLOP-efficient headline-bench flagships (VERDICT r2 #1).
+
+The headline benchmark (bench.py) is defined on the WORKLOAD — MNIST 28x28,
+50-step DDIM, 3 composed experts — not on the reference's exact base-64 M1
+architecture. The reference itself ships a base-32 UNet for MNIST-sized
+images (M5, /root/reference/src/composing_colored_mnist.py:98-136). Before a
+cheaper model may become the headline bench config, it must match the
+base-64 expert's GENERATION QUALITY on the same protocol. This script is
+that gate, run per candidate architecture:
+
+  1. train 3 unconditional experts on digit subsets {0-2}, {3-5}, {6-8}
+     of the (hermetic glyph) MNIST dataset — the mnist/run_composition.sh
+     expert protocol extended to the bench's 3 experts;
+  2. sample each expert SOLO (50-step DDIM, bf16 — the exact bench compute
+     path) and score with a 10-class digit probe trained on the full
+     dataset: in-subset fraction + mean max-softmax confidence;
+  3. run the EXACT bench program (3-expert weighted-average composition,
+     one jitted 50-step DDIM scan) and score the composed samples:
+     in-union fraction, mean confidence, class-distribution entropy.
+
+Gate: a candidate passes when its solo in-subset accuracy and confidence
+and its composed-sample stats are >= the base-64 run's (within noise read
+off the JSON by a human; the committed artifact is the evidence).
+
+Outputs: grids + one JSON per config under --out.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import add_runtime_flags, apply_runtime_flags  # noqa: E402
+
+from composable_diffusion_models_tpu import (  # noqa: E402
+    compose, data, eval as ceval, experts, samplers, train)
+from composable_diffusion_models_tpu.models import DiT, UNet  # noqa: E402
+from composable_diffusion_models_tpu.schedules import VPSchedule  # noqa: E402
+from composable_diffusion_models_tpu.utils.viz import save_grid  # noqa: E402
+
+SUBSETS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
+
+
+def build_model(name: str, dtype):
+    """Candidate flagship architectures, named.
+
+    unet<W>       — the reference M1 UNet at base_dim W (64 = parity;
+                    32 = the reference's own M5 width).
+    dit_p<P>_d<D>_l<L> — throughput-sized DiT (models/dit.py), patch P,
+                    dim D, depth L.
+    """
+    if name.startswith("unet"):
+        return UNet(in_channels=1, base_dim=int(name[4:]),
+                    channel_mults=(1, 2, 4), dtype=dtype)
+    if name.startswith("dit"):
+        parts = {p[0]: int(p[1:]) for p in name.split("_")[1:]}
+        return DiT(patch=parts["p"], dim=parts["d"], depth=parts["l"],
+                   n_heads=8, in_channels=1, dtype=dtype)
+    raise ValueError(f"unknown config {name}")
+
+
+def probe_stats(probe, probe_params, samples, allowed):
+    """Digit-probe statistics on [-1,1] NHWC samples."""
+    logits = ceval._jitted_apply(probe)(probe_params, samples)[0]
+    probs = jax.nn.softmax(logits, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    maxp = jnp.max(probs, axis=-1)
+    hist = jnp.bincount(preds, length=10) / preds.shape[0]
+    in_set = jnp.isin(preds, jnp.asarray(allowed))
+    ent = -jnp.sum(jnp.where(hist > 0, hist * jnp.log(hist), 0.0))
+    return {
+        "in_set_frac": float(jnp.mean(in_set)),
+        "mean_max_prob": float(jnp.mean(maxp)),
+        "mean_max_prob_in_set": float(jnp.sum(maxp * in_set)
+                                      / jnp.maximum(jnp.sum(in_set), 1)),
+        "class_hist": [round(float(h), 4) for h in hist],
+        "class_entropy": float(ent),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="unet64,unet32",
+                    help="comma list: unet<W> or dit_p<P>_d<D>_l<L>")
+    ap.add_argument("--train_steps", type=int, default=12000,
+                    help="per expert (12k x bs256 = the reference-equivalent "
+                         "budget used by every flagship eval)")
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("--probe_steps", type=int, default=2000)
+    ap.add_argument("--n_samples", type=int, default=256,
+                    help="per solo expert and for the composed program")
+    ap.add_argument("--n_steps", type=int, default=50,
+                    help="DDIM steps (the bench program uses 50)")
+    ap.add_argument("--data_n", type=int, default=8192)
+    ap.add_argument("--sanity", action="store_true")
+    ap.add_argument("--out", default="outputs/quality_gate")
+    ap.add_argument("--seed", type=int, default=0)
+    add_runtime_flags(ap)
+    args, _ = ap.parse_known_args()
+    apply_runtime_flags(args)
+
+    if args.sanity:
+        args.train_steps, args.probe_steps = 40, 40
+        args.n_samples, args.n_steps, args.data_n = 16, 4, 256
+        args.batch_size = 16
+
+    os.makedirs(args.out, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    schedule = VPSchedule()
+    dtype = jnp.bfloat16
+
+    # full-data digit probe (noise-augmented, single 10-way factor)
+    full_imgs, full_labels = data.get_mnist(jax.random.fold_in(key, 1),
+                                            n=args.data_n)
+    print("training 10-class digit probe ...")
+    probe, probe_params = ceval.train_probe(
+        jax.random.fold_in(key, 2), full_imgs, (full_labels,),
+        num_classes=(10,), steps=args.probe_steps, noise_aug=0.1)
+    sanity = ceval.probe_accuracy(probe, probe_params, full_imgs[:512],
+                                  (full_labels[:512],))
+    print(f"probe held-in accuracy: {sanity}")
+
+    subset_data = [
+        data.get_mnist(jax.random.fold_in(key, 3 + i), n=args.data_n,
+                       classes=list(s))[0]
+        for i, s in enumerate(SUBSETS)
+    ]
+
+    for cfg_name in args.configs.split(","):
+        print(f"=== config {cfg_name} ===")
+        model = build_model(cfg_name, dtype)
+        x0 = jnp.zeros((1, 28, 28, 1))
+        params_list = []
+        for i, imgs in enumerate(subset_data):
+            print(f"training expert {i} (digits {SUBSETS[i]}) ...")
+            p0 = model.init(jax.random.fold_in(key, 10 + i), x0,
+                            jnp.ones((1,)))
+            p, losses = train.train_expert(
+                jax.random.fold_in(key, 20 + i), model.apply, p0,
+                schedule, imgs, steps=args.train_steps,
+                batch_size=args.batch_size, lr=args.lr,
+                ema_decay=args.ema or None)
+            print(f"  final loss {float(losses[-1]):.4f}")
+            params_list.append(jax.tree_util.tree_map(
+                lambda a: a.astype(dtype), p))
+
+        report = {"config": cfg_name, "train_steps": args.train_steps,
+                  "batch_size": args.batch_size, "ema": args.ema,
+                  "n_steps": args.n_steps, "n_samples": args.n_samples,
+                  "subsets": [list(s) for s in SUBSETS],
+                  "probe_heldin": sanity, "solo": {}, "composed": None}
+
+        # solo sampling per expert — the bench compute path at K=1
+        for i, p in enumerate(params_list):
+            def eps_fn(x, t, p=p):
+                return model.apply(p, x.astype(dtype),
+                                   t.astype(dtype)).astype(jnp.float32)
+
+            @jax.jit
+            def solo(k):
+                x = jax.random.normal(
+                    k, (args.n_samples, 28, 28, 1), jnp.float32)
+                return samplers.ddim(eps_fn, schedule, x, args.n_steps)
+
+            samples = solo(jax.random.fold_in(key, 30 + i))
+            stats = probe_stats(probe, probe_params, samples, SUBSETS[i])
+            report["solo"][f"expert_{i}"] = stats
+            save_grid(samples[:64],
+                      f"{args.out}/{cfg_name}_solo{i}.png", nrow=8)
+            print(f"expert {i} solo: in_subset={stats['in_set_frac']:.3f} "
+                  f"conf={stats['mean_max_prob']:.3f}")
+
+        # the EXACT bench program: 3-expert weighted average, one DDIM scan
+        stack = experts.ExpertStack(model.apply, params_list)
+        w = jnp.ones((3,), jnp.float32)
+
+        def eps_comp(x, t):
+            eps = stack(x.astype(dtype), t.astype(dtype))
+            return compose.weighted(eps.astype(jnp.float32), w)
+
+        @jax.jit
+        def composed(k):
+            x = jax.random.normal(
+                k, (args.n_samples, 28, 28, 1), jnp.float32)
+            return samplers.ddim(eps_comp, schedule, x, args.n_steps)
+
+        samples = composed(jax.random.fold_in(key, 40))
+        allowed = tuple(sorted(c for s in SUBSETS for c in s))
+        stats = probe_stats(probe, probe_params, samples, allowed)
+        report["composed"] = stats
+        save_grid(samples[:64], f"{args.out}/{cfg_name}_composed.png",
+                  nrow=8)
+        print(f"composed: in_union={stats['in_set_frac']:.3f} "
+              f"conf={stats['mean_max_prob']:.3f} "
+              f"entropy={stats['class_entropy']:.3f}")
+
+        path = f"{args.out}/quality_{cfg_name}.json"
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report saved to {path}")
+
+
+if __name__ == "__main__":
+    main()

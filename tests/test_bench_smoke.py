@@ -18,7 +18,7 @@ import bench  # noqa: E402
 
 
 def test_mnist_sampler_program_runs():
-    ips, per_batch = bench.run(batch_size=2, base_dim=8, iters=1)
+    ips, per_batch = bench.run(batch_size=2, base_dim=8, iters=1, n_steps=2)
     assert ips > 0 and per_batch > 0
 
 

@@ -175,8 +175,10 @@ def grouped_eps_fn(groups: Sequence[Callable[[Array, Array], Array]],
     return eps_stack_fn
 
 
-def rgb_to_gray(x: Array, normalized: bool = False) -> Array:
-    """ITU-R 601 luma, NHWC (parity with torchvision Grayscale used at
+def rgb_to_gray(x: Array, normalized: bool = False,
+                weights=None) -> Array:
+    """Channel projection to 1 channel, NHWC. Default ``weights`` is ITU-R
+    601 luma (parity with torchvision Grayscale used at
     shapes/compose_images_ddim.py:31).
 
     ``normalized=False`` (reference convention): plain luma. Applied to a unit
@@ -188,29 +190,38 @@ def rgb_to_gray(x: Array, normalized: bool = False) -> Array:
     unit-norm. Then P(x_t) = a*P(x0) + s*eps1 with eps1 ~ N(0,1) EXACTLY —
     the gray view of the RGB diffusion is itself a diffusion state for the
     projected data. Pair with a gray expert trained on
-    data.make_shapes_dataset(grayscale="luma_norm") images (= P(x0))."""
+    data.make_shapes_dataset(grayscale="luma_norm") images (= P(x0)).
+
+    ``weights``: alternative projection row, e.g. (1, 1, 1) for an
+    EQUAL-WEIGHT gray view. Luma weights give the projected expert authority
+    w_c/||w|| over channel c — only 0.17 for blue, which is why luma-proj
+    composition fails on blue cells (measured: every blue column of
+    artifacts/dit_proj_shapes is the weak one); equal weights give each
+    channel 0.577."""
     from composable_diffusion_models_tpu.compose import LUMA_W
-    w = jnp.asarray(LUMA_W, x.dtype)
+    w = jnp.asarray(LUMA_W if weights is None else weights, x.dtype)
     g = jnp.sum(x * w, axis=-1, keepdims=True)
     if normalized:
         g = g / jnp.sqrt(jnp.sum(w * w))
     return g
 
 
-def gray_to_rgb(eps: Array, normalized: bool = False) -> Array:
+def gray_to_rgb(eps: Array, normalized: bool = False,
+                weights=None) -> Array:
     """Lift a 1-channel prediction to 3 channels.
 
     ``normalized=False`` (reference convention): equal broadcast, the
     reference's ``.repeat(1, 3, 1, 1)`` (compose_images_ddim.py:52).
 
-    ``normalized=True``: the adjoint of the unit-norm luma projection,
+    ``normalized=True``: the adjoint of the unit-norm projection,
     ``g * u`` with ``u = w/||w||`` — the correct lift for an expert trained
     on ``rgb_to_gray(x, normalized=True)`` data (its output estimates
     ``P eps``; the adjoint puts that estimate back along P's row space with
     no spurious chroma and unit gain, where equal broadcast would scale the
-    luma component by ``sum(w)/||w||`` = 1.49x and leak into chroma)."""
+    luma component by ``sum(w)/||w||`` = 1.49x and leak into chroma).
+    ``weights`` must match the ``rgb_to_gray`` call that made the view."""
     if not normalized:
         return jnp.repeat(eps, 3, axis=-1)
     from composable_diffusion_models_tpu.compose import LUMA_W
-    w = jnp.asarray(LUMA_W, eps.dtype)
+    w = jnp.asarray(LUMA_W if weights is None else weights, eps.dtype)
     return eps * (w / jnp.sqrt(jnp.sum(w * w)))

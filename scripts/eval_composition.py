@@ -116,6 +116,15 @@ def main():
                          "the RGB diffusion state is then an EXACT diffusion "
                          "state (plain luma understates the noise level by "
                          "0.67x; see experts.rgb_to_gray)")
+    ap.add_argument("--gray_proj", default="luma", choices=["luma", "equal"],
+                    help="with --factor0_grayscale: channel weights of the "
+                         "gray projection. 'luma' = ITU-601 (the reference's "
+                         "torchvision Grayscale) gives the shape expert "
+                         "authority w_c/||w|| over channel c — only 0.17 for "
+                         "BLUE, which is why every blue column of the luma "
+                         "runs is the weak one; 'equal' = (1,1,1)/sqrt(3) "
+                         "gives each channel 0.577 so held-out colors are "
+                         "equally steerable")
     ap.add_argument("--hue_aug", type=float, default=0.0,
                     help="with --factor0_grayscale: per-sample random RGB "
                          "channel gains in [hue_aug, 1] (in [0,1] pixel "
@@ -239,6 +248,7 @@ def main():
     from composable_diffusion_models_tpu.experts import (gray_to_rgb,
                                                          rgb_to_gray)
     f0_ch = 1 if args.factor0_grayscale else 3
+    gray_w = (1.0, 1.0, 1.0) if args.gray_proj == "equal" else None
 
     def expert_model(in_ch, n_cls):
         # honor --model.kind so the DiT backbone runs the same protocol
@@ -275,7 +285,8 @@ def main():
                 jax.random.fold_in(kc, 5), (held_imgs.shape[0], 1, 1, 3),
                 minval=args.hue_aug, maxval=1.0)
             f0_src = ((held_imgs + 1.0) * 0.5 * gains) * 2.0 - 1.0
-        f0_imgs = (rgb_to_gray(f0_src, normalized=args.gray_norm)
+        f0_imgs = (rgb_to_gray(f0_src, normalized=args.gray_norm,
+                               weights=gray_w)
                    if args.factor0_grayscale else held_imgs)
         lab0 = jnp.zeros((1,), jnp.int32)
         print(f"training factor-0 expert ({'gray' if f0_ch == 1 else 'RGB'} "
@@ -337,9 +348,10 @@ def main():
             if f0_ch == 1:
                 return gray_to_rgb(
                     shape_model.apply(
-                        params, rgb_to_gray(x, normalized=args.gray_norm),
+                        params, rgb_to_gray(x, normalized=args.gray_norm,
+                                            weights=gray_w),
                         t, labels),
-                    normalized=args.gray_norm)
+                    normalized=args.gray_norm, weights=gray_w)
             return shape_model.apply(params, x, t, labels)
 
         if op == "ito":
@@ -374,13 +386,15 @@ def main():
                 # plus an explicit pull toward the (held-out) label pair.
                 e_c = color_model.apply(cp, x, t, cl)
                 e_s = shape_model.apply(
-                    sp, rgb_to_gray(x, normalized=True), t, sl)
-                return compose.projected(e_c, e_s, proj_strength(t))
+                    sp, rgb_to_gray(x, normalized=True, weights=gray_w),
+                    t, sl)
+                return compose.projected(e_c, e_s, proj_strength(t),
+                                         proj=gray_w or compose.LUMA_W)
             if op == "proj_cfg":
                 # CFG inside each expert (guidance strengths = weights),
                 # THEN projection substitution at weight 1 — stacks the
                 # conditioning lever on the consistent-noise composition
-                xg = rgb_to_gray(x, normalized=True)
+                xg = rgb_to_gray(x, normalized=True, weights=gray_w)
                 xg2 = jnp.concatenate([xg, xg])
                 e_s2 = shape_model.apply(
                     sp, xg2, t, jnp.concatenate([sl, null_s]))
@@ -389,7 +403,8 @@ def main():
                     cp, x2, t, jnp.concatenate([cl, null_c]))
                 e_s = e_s2[bs:] + weights[0] * (e_s2[:bs] - e_s2[bs:])
                 e_c = e_c2[bs:] + weights[1] * (e_c2[:bs] - e_c2[bs:])
-                return compose.projected(e_c, e_s, 1.0)
+                return compose.projected(e_c, e_s, 1.0,
+                                         proj=gray_w or compose.LUMA_W)
             if op == "cfg":
                 x2 = jnp.concatenate([x, x])
                 e_s2 = apply_f0(sp, x2, t, jnp.concatenate([sl, null_s]))

@@ -236,6 +236,51 @@ def test_gray_lift_adjoint(key):
     assert abs(float(jnp.mean(b / g)) - 1.494) < 0.01
 
 
+def test_gray_lift_adjoint_custom_weights(key):
+    """The adjoint invariants of test_gray_lift_adjoint hold for the
+    equal-weight projection too (--gray_proj equal: luma gives the gray
+    expert authority only 0.17 over blue; equal weights give 0.577 per
+    channel), and the two projections genuinely differ on chroma."""
+    import numpy as np
+    w_eq = (1.0, 1.0, 1.0)
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    g = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 1))
+    px = experts.rgb_to_gray(x, normalized=True, weights=w_eq)
+    lg = experts.gray_to_rgb(g, normalized=True, weights=w_eq)
+    np.testing.assert_allclose(float((lg * x).sum()), float((g * px).sum()),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(experts.rgb_to_gray(lg, normalized=True, weights=w_eq)),
+        np.asarray(g), rtol=1e-4, atol=1e-5)
+    # equal projection weights blue at 1/sqrt(3), luma at 0.114/||w_luma||
+    blue = jnp.zeros((1, 1, 1, 3)).at[..., 2].set(1.0)
+    eq_b = float(experts.rgb_to_gray(blue, normalized=True,
+                                     weights=w_eq)[0, 0, 0, 0])
+    luma_b = float(experts.rgb_to_gray(blue, normalized=True)[0, 0, 0, 0])
+    assert abs(eq_b - 1 / 3 ** 0.5) < 1e-6
+    assert luma_b < 0.2 < eq_b
+
+
+def test_projected_custom_proj(key):
+    """compose.projected(proj=(1,1,1)) substitutes along the equal-weight
+    row space: the projected component equals eps_sub, the orthogonal
+    complement is untouched (same invariant the luma default is tested
+    for, on the gray_proj-equal axis)."""
+    import numpy as np
+    from composable_diffusion_models_tpu import compose
+    w = jnp.ones((3,)) / jnp.sqrt(3.0)
+    e_full = jax.random.normal(key, (2, 4, 4, 3))
+    e_sub = jax.random.normal(jax.random.fold_in(key, 1), (2, 4, 4, 1))
+    out = compose.projected(e_full, e_sub, 1.0, proj=(1.0, 1.0, 1.0))
+    np.testing.assert_allclose(
+        np.asarray((out * w).sum(-1, keepdims=True)),
+        np.asarray(e_sub), rtol=1e-4, atol=1e-5)
+    ortho = out - (out * w).sum(-1, keepdims=True) * w
+    ortho_full = e_full - (e_full * w).sum(-1, keepdims=True) * w
+    np.testing.assert_allclose(np.asarray(ortho), np.asarray(ortho_full),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_luma_weights_single_source():
     """The ITU-601 luma weights live in exactly one place (compose.LUMA_W);
     data's luma_norm images must equal rgb_to_gray(normalized=True) of the

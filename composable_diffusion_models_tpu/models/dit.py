@@ -38,12 +38,47 @@ def _modulate(x: Array, shift: Array, scale: Array) -> Array:
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+class FusedQKVAttention(nn.Module):
+    """Self-attention for SHORT token sequences, one QKV GEMM.
+
+    ``nn.MultiHeadDotProductAttention`` issues three separate input
+    projections and keeps per-head minor dims (head_dim 32 at the flagship's
+    dim 256 / 8 heads — a 32-of-128-lane layout that pads 4x on every
+    reshape/transpose around the score matmuls). At 16 tokens the attention
+    FLOPs are negligible; the *passes* are not. This module folds Q,K,V into
+    ONE ``(B*T, dim) x (dim, 3*dim)`` GEMM (M = B*T fills the MXU), keeps
+    the scores in a single einsum pair, and applies the output projection as
+    one more full-width GEMM. Same math as MHDPA with default flax settings
+    (scale 1/sqrt(head_dim), no attention bias), different param tree.
+    """
+
+    dim: int
+    n_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h: Array) -> Array:
+        b, n_tok, _ = h.shape
+        hd = self.dim // self.n_heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(b, n_tok, 3, self.n_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, h.dtype))
+        # fp32 softmax stats (numerics policy), bf16 value matmul
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(h.dtype), v)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
+            out.reshape(b, n_tok, self.dim))
+
+
 class DiTBlock(nn.Module):
     """Pre-LN transformer block with adaLN-Zero conditioning."""
 
     dim: int
     n_heads: int
     mlp_ratio: int = 4
+    qkv_fused: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -60,8 +95,12 @@ class DiTBlock(nn.Module):
         h = nn.LayerNorm(use_scale=False, use_bias=False,
                          dtype=jnp.float32)(x).astype(x.dtype)
         h = _modulate(h, sa_shift, sa_scale)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.n_heads, dtype=self.dtype)(h, h)
+        if self.qkv_fused:
+            h = FusedQKVAttention(self.dim, self.n_heads,
+                                  dtype=self.dtype)(h)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads, dtype=self.dtype)(h, h)
         x = x + sa_gate[:, None, :] * h
         h = nn.LayerNorm(use_scale=False, use_bias=False,
                          dtype=jnp.float32)(x).astype(x.dtype)
@@ -96,6 +135,7 @@ class DiT(nn.Module):
     in_channels: int = 1
     num_classes: Sequence[int] = ()
     null_token: bool = False
+    qkv_fused: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -134,6 +174,7 @@ class DiT(nn.Module):
 
         for i in range(self.depth):
             tok = DiTBlock(self.dim, self.n_heads, dtype=self.dtype,
+                           qkv_fused=self.qkv_fused,
                            name=f"block_{i}")(tok, c)
 
         # final adaLN + zero-init projection (fp32 output head, repo policy)

@@ -23,6 +23,23 @@ def rows_from(path):
             "weights": op.get("weights"),
             "seen": op.get("seen_joint_acc", float("nan")),
             "held_out": op.get("heldout_joint_acc", float("nan")),
+            "cells": "",
+            "source": os.path.relpath(path),
+        }
+    # holdout-sweep reports (compositional_sweep_*.json): one row per
+    # operator with mean held-out joint accuracy and the min-max range
+    # across cells (single-cell rankings are single-sample claims)
+    for tag, agg in rep.get("aggregate", {}).items():
+        yield {
+            "dataset": rep.get("dataset", "?"),
+            "run": run,
+            "op": tag,
+            "weights": None,
+            "seen": agg["seen_joint_acc_mean"],
+            "held_out": agg["heldout_joint_acc_mean"],
+            "cells": (f" ({agg['heldout_joint_acc_min']:.2f}-"
+                      f"{agg['heldout_joint_acc_max']:.2f}, "
+                      f"n={agg['n_cells']})"),
             "source": os.path.relpath(path),
         }
 
@@ -43,7 +60,8 @@ def main():
         # both report generations: tagged (compositional_eval_<ds>_<ops>.json)
         # and the earlier untagged compositional_eval.json
         paths = (glob.glob(os.path.join(pat, "compositional_eval_*.json"))
-                 + glob.glob(os.path.join(pat, "compositional_eval.json")))
+                 + glob.glob(os.path.join(pat, "compositional_eval.json"))
+                 + glob.glob(os.path.join(pat, "compositional_sweep_*.json")))
         for path in sorted(paths):
             rows.extend(rows_from(path))
     if args.dataset:
@@ -57,7 +75,8 @@ def main():
     print("|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['dataset']} | {r['run']} | {r['op']} "
-              f"| {r['held_out']:.3f} | {r['seen']:.3f} | {r['source']} |")
+              f"| {r['held_out']:.3f}{r['cells']} | {r['seen']:.3f} "
+              f"| {r['source']} |")
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import flax.linen as nn
 
 from composable_diffusion_models_tpu import experts
 from composable_diffusion_models_tpu.models import (BetaVAE, LatentDiffusionMLP,
@@ -376,3 +377,50 @@ class TestDiT:
         out = samplers.ddim(lambda x, t: model.apply(params, x, t),
                             sch, jax.random.normal(key, (4, 8, 8, 1)), 10)
         assert out.shape == (4, 8, 8, 1)
+
+
+class TestFusedQKVAttention:
+    """models.dit.FusedQKVAttention — the one-GEMM attention path for short
+    token sequences (profile_dit.py A/B candidate for the headline DiT)."""
+
+    def test_matches_stock_mhdpa_with_transplanted_params(self, key):
+        """Exact math parity: folding the stock MHDPA's q/k/v/out kernels
+        into the fused layout reproduces its output bit-for-bit in fp32
+        (same scale convention 1/sqrt(head_dim), same head flattening)."""
+        from composable_diffusion_models_tpu.models.dit import (
+            FusedQKVAttention)
+        d, heads, hd = 32, 4, 8
+        x = jax.random.normal(key, (2, 5, d))
+        mh = nn.MultiHeadDotProductAttention(num_heads=heads)
+        mp = mh.init(key, x, x)["params"]
+        ref = mh.apply({"params": mp}, x, x)
+
+        def flat_in(k):  # (d, heads, hd) -> (d, heads*hd)
+            return mp[k]["kernel"].reshape(d, heads * hd)
+
+        qkv_kernel = jnp.concatenate(
+            [flat_in("query"), flat_in("key"), flat_in("value")], axis=1)
+        qkv_bias = jnp.concatenate(
+            [mp[k]["bias"].reshape(heads * hd) for k in
+             ("query", "key", "value")])
+        fused_params = {"params": {
+            "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
+            "proj": {"kernel": mp["out"]["kernel"].reshape(heads * hd, d),
+                     "bias": mp["out"]["bias"]},
+        }}
+        fa = FusedQKVAttention(dim=d, n_heads=heads)
+        out = fa.apply(fused_params, x)
+        assert jnp.allclose(out, ref, atol=1e-5), (
+            float(jnp.abs(out - ref).max()))
+
+    def test_dit_qkv_fused_flag_end_to_end(self, key):
+        """The qkv_fused DiT keeps the adaLN-Zero init property and the
+        apply contract (shape-preserving, zero at init)."""
+        from composable_diffusion_models_tpu.models import DiT
+        model = DiT(patch=4, dim=64, depth=2, n_heads=4, in_channels=1,
+                    qkv_fused=True)
+        x = jax.random.normal(key, (2, 28, 28, 1))
+        params = model.init(key, x, jnp.ones((2,)))
+        out = model.apply(params, x, jnp.ones((2,)))
+        assert out.shape == x.shape
+        assert float(jnp.abs(out).max()) == 0.0

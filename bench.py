@@ -173,7 +173,8 @@ def dit_gflop_per_image(img_size: int = 28, patch: int = 4, dim: int = 512,
 
 def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
                            dim: int = 512, depth: int = 4,
-                           n_steps: int = 50, patch: int = 4) -> float:
+                           n_steps: int = 50, patch: int = 4,
+                           qkv_fused: bool = False) -> float:
     """DiT composer throughput on the bench workload — MNIST 28x28,
     50-step DDIM, 3 composed experts. Used twice:
 
@@ -194,7 +195,7 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
 
     key = jax.random.PRNGKey(0)
     model = DiT(patch=patch, dim=dim, depth=depth, in_channels=1,
-                dtype=jnp.bfloat16)
+                qkv_fused=qkv_fused, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, 28, 28, 1))
     params_list = [
         jax.tree_util.tree_map(
@@ -293,6 +294,13 @@ def main():
                     help="compute on a zero-padded square canvas of this "
                          "size (e.g. 32): same 28x28 images in/out, all "
                          "spatial dims 8-aligned for the conv emitter")
+    ap.add_argument("--qkv_fused", action="store_true",
+                    help="DiT flagships: FusedQKVAttention (one QKV GEMM) "
+                         "instead of stock flax MHDPA — math-identical "
+                         "(test_models.py transplant parity) so the quality "
+                         "gate verdict carries over; A/B via "
+                         "scripts/profile_dit.py before flipping the "
+                         "default")
     ap.add_argument("--skip_extras", action="store_true",
                     help="measure only the headline MNIST sampler program "
                          "(skip train/shapes/DiT secondaries) — for "
@@ -337,7 +345,8 @@ def main():
             else:
                 ips = measure_dit_throughput(
                     batch_size=bs, iters=args.iters, dim=spec["d"],
-                    depth=spec["l"], patch=spec["p"])
+                    depth=spec["l"], patch=spec["p"],
+                    qkv_fused=args.qkv_fused)
                 t = bs / ips
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)

@@ -146,31 +146,39 @@ def main():
     schedule = VPSchedule()
     w3 = jnp.ones((args.experts,), jnp.float32)
     ips = {}
+    # (attention variant) x (expert layout): the ExpertStack unroll-vs-vmap
+    # measurement was made on the conv UNet (grouped-conv lowering 22%
+    # slower); for a pure-GEMM transformer vmap-over-params lowers to
+    # batched dot_general, which may WIN — measure, don't assume.
     for fused in (False, True):
-        model, _ = variants[fused]
-        params3 = [jax.tree_util.tree_map(
-            lambda p: p.astype(dt),
-            model.init(jax.random.fold_in(key, i),
-                       jnp.zeros((1, img, img, 1)), jnp.ones((1,))))
-            for i in range(args.experts)]
-        stack = experts.ExpertStack(model.apply, params3)
+        for unroll_below in (5, 1):  # 5 = unrolled (K=3 < 5); 1 = vmapped
+            model, _ = variants[fused]
+            params3 = [jax.tree_util.tree_map(
+                lambda p: p.astype(dt),
+                model.init(jax.random.fold_in(key, i),
+                           jnp.zeros((1, img, img, 1)), jnp.ones((1,))))
+                for i in range(args.experts)]
+            stack = experts.ExpertStack(model.apply, params3,
+                                        unroll_below=unroll_below)
 
-        def eps_fn(xx, tt, stack=stack):
-            eps = stack(xx.astype(dt), tt.astype(dt))
-            return compose.weighted(eps.astype(jnp.float32), w3)
+            def eps_fn(xx, tt, stack=stack):
+                eps = stack(xx.astype(dt), tt.astype(dt))
+                return compose.weighted(eps.astype(jnp.float32), w3)
 
-        @jax.jit
-        def sample(k, eps_fn=eps_fn):
-            xi = jax.random.normal(k, (bs, img, img, 1), jnp.float32)
-            return samplers.ddim(eps_fn, schedule, xi, 50)
+            @jax.jit
+            def sample(k, eps_fn=eps_fn):
+                xi = jax.random.normal(k, (bs, img, img, 1), jnp.float32)
+                return samplers.ddim(eps_fn, schedule, xi, 50)
 
-        float(sample(key).ravel()[0])
-        t0 = time.perf_counter()
-        acc = jnp.zeros(())
-        for i in range(3):
-            acc = acc + sample(jax.random.fold_in(key, i)).ravel()[0]
-        float(acc)
-        ips[fused] = bs * 3 / (time.perf_counter() - t0)
+            float(sample(key).ravel()[0])
+            t0 = time.perf_counter()
+            acc = jnp.zeros(())
+            for i in range(3):
+                acc = acc + sample(jax.random.fold_in(key, i)).ravel()[0]
+            float(acc)
+            tag = ("fused" if fused else "stock",
+                   "vmap" if unroll_below == 1 else "unroll")
+            ips[tag] = bs * 3 / (time.perf_counter() - t0)
 
     # ---- table ------------------------------------------------------------
     print(f"\nbs={bs} patch={args.patch} dim={d} depth={args.depth} "
@@ -183,8 +191,9 @@ def main():
         if fl and fl / sec / 1e12 > 200.0:
             tf += " IMPLAUSIBLE(>peak)"
         print(f"| {name} | {sec * 1e3:.3f} | {tf} |")
-    print(f"\nfull 50-step DDIM 3-expert: stock {ips[False]:.1f} img/s "
-          f"vs fused-qkv {ips[True]:.1f} img/s")
+    print("\nfull 50-step DDIM 3-expert (img/s):")
+    for tag, v in sorted(ips.items()):
+        print(f"  attn={tag[0]:5s} experts={tag[1]:6s}: {v:.1f}")
 
 
 def attn_flops(b, t, d, h):

@@ -181,10 +181,12 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
     - the HEADLINE flagship (patch 7 / dim 256 / depth 8): passed the r3
       quality gate (artifacts/quality_gate_r3 — composed in-union 0.957,
       exactly the base-64 UNet's, with better solo quality at 3.7x fewer
-      FLOPs). Measured 1213 img/s at bs 1024 (sweep 512/1024/2048; 2048 is
-      worse). MFU is only ~0.20: at 16 tokens the GEMMs are tiny and the
-      adaLN/LayerNorm elementwise passes dominate — kernel headroom, not a
-      model ceiling (roofline 6.2k img/s at chip peak).
+      FLOPs). Measured 1213 img/s at bs 1024 stock (sweep 512/1024/2048;
+      2048 is worse); 1295 img/s at bs 768 with qkv_fused=True (the bs-768
+      A/B in /tmp-queue job1, archived in DESIGN.md §3). MFU is only ~0.20:
+      at 16 tokens the GEMMs are tiny and the adaLN/LayerNorm elementwise
+      passes dominate — kernel headroom, not a model ceiling (roofline 6.2k
+      img/s at chip peak).
     - the r2 eval flagship (patch 4 / dim 512 / depth 4, "extra" row):
       ~471 img/s at 45% MFU (batch sweep 256/384/512/768/1024 — 256 and
       384 tie, larger is WORSE). At 49 tokens the per-head attention GEMMs
@@ -294,13 +296,16 @@ def main():
                     help="compute on a zero-padded square canvas of this "
                          "size (e.g. 32): same 28x28 images in/out, all "
                          "spatial dims 8-aligned for the conv emitter")
-    ap.add_argument("--qkv_fused", action="store_true",
+    ap.add_argument("--qkv_fused", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="DiT flagships: FusedQKVAttention (one QKV GEMM) "
                          "instead of stock flax MHDPA — math-identical "
                          "(test_models.py transplant parity) so the quality "
-                         "gate verdict carries over; A/B via "
-                         "scripts/profile_dit.py before flipping the "
-                         "default")
+                         "gate verdict carries over. Default ON since the "
+                         "bs-768 A/B (scripts/profile_dit.py, interleaved "
+                         "in-process): fwd 4.13 vs 4.28 ms stable across "
+                         "repeats, full 50-step 3-expert sampler 1295 vs "
+                         "1239 img/s. --no-qkv_fused restores stock MHDPA.")
     ap.add_argument("--skip_extras", action="store_true",
                     help="measure only the headline MNIST sampler program "
                          "(skip train/shapes/DiT secondaries) — for "

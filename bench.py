@@ -89,33 +89,34 @@ def build(batch_size: int, base_dim: int, dtype=jnp.bfloat16,
     return sample
 
 
+def _timed_iters(sample, key, iters: int, warmups: int = 2) -> float:
+    """Sustained-throughput timing through the tunnel: warm the EXACT
+    program, then issue all batches back-to-back with distinct inputs and
+    force at the end.
+
+    ``sample`` must return a full-tensor-dependent SCALAR computed INSIDE
+    the jitted program (out.sum() — DCE-safe because every output element
+    feeds it). The loop only collects the async scalar handles: zero eager
+    ops inside the timed window (an eager ravel()[0]+add per iteration
+    dispatched ~3 extra tunneled ops each and inflated all absolute numbers
+    ~10% at bs 768 — ADVICE r3). One eager stack().sum() fetch at the end
+    blocks on every batch."""
+    float(sample(key))
+    for w in range(1, warmups):
+        float(sample(jax.random.fold_in(key, w)))
+    t0 = time.perf_counter()
+    outs = [sample(jax.random.fold_in(key, 100 + i)) for i in range(iters)]
+    float(jnp.stack(outs).sum())
+    return (time.perf_counter() - t0) / iters
+
+
 def run(batch_size: int, base_dim: int, iters: int = 5,
         use_pallas: bool = False, img_size: int = 28, pad_to: int = 0,
         n_steps: int = 50):
     sample = build(batch_size, base_dim, use_pallas=use_pallas,
                    img_size=img_size, pad_to=pad_to, n_steps=n_steps)
-    key = jax.random.PRNGKey(1)
-
-    def sync(out):
-        # force a scalar host fetch: on the tunneled runtime
-        # block_until_ready can return before compute finishes
-        return float(out.ravel()[0])
-
-    # compile + warmup
-    sync(sample(key))
-    sync(sample(jax.random.fold_in(key, 1)))
-    # sustained throughput: issue all batches back-to-back (distinct inputs —
-    # the runtime caches identical executions), then force ONE dependent
-    # scalar fetch; device work is serialized so it covers every batch and
-    # amortizes the ~35 ms tunnel round-trip
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        out = sample(jax.random.fold_in(key, 2 + i))
-        acc = acc + out.ravel()[0]
-    float(acc)
-    total = time.perf_counter() - t0
-    per_batch = total / iters
+    per_batch = _timed_iters(
+        jax.jit(lambda k: sample(k).sum()), jax.random.PRNGKey(1), iters)
     return batch_size / per_batch, per_batch
 
 
@@ -174,7 +175,8 @@ def dit_gflop_per_image(img_size: int = 28, patch: int = 4, dim: int = 512,
 def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
                            dim: int = 512, depth: int = 4,
                            n_steps: int = 50, patch: int = 4,
-                           qkv_fused: bool = False) -> float:
+                           qkv_fused: bool = False,
+                           folded: bool = False) -> float:
     """DiT composer throughput on the bench workload — MNIST 28x28,
     50-step DDIM, 3 composed experts. Used twice:
 
@@ -193,7 +195,7 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
       (49x64x49) keep it at MFU comparable to the UNet's 49% — the
       hypothesis that LayerNorm-into-GEMM fusion would beat the UNet's
       GroupNorm HBM passes is REFUTED at this resolution."""
-    from composable_diffusion_models_tpu.models import DiT
+    from composable_diffusion_models_tpu.models import DiT, make_folded_apply
 
     key = jax.random.PRNGKey(0)
     model = DiT(patch=patch, dim=dim, depth=depth, in_channels=1,
@@ -205,7 +207,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
             model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,))))
         for i in range(3)
     ]
-    stack = experts.ExpertStack(model.apply, params_list)
+    apply_fn = make_folded_apply(model) if folded else model.apply
+    stack = experts.ExpertStack(apply_fn, params_list)
     schedule = VPSchedule()
     w = jnp.ones((3,), jnp.float32)
 
@@ -216,15 +219,10 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
     @jax.jit
     def sample(key):
         x = jax.random.normal(key, (batch_size, 28, 28, 1), jnp.float32)
-        return samplers.ddim(eps_fn, schedule, x, n_steps)
+        return samplers.ddim(eps_fn, schedule, x, n_steps).sum()
 
-    float(sample(key).ravel()[0])
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + sample(jax.random.fold_in(key, 1 + i)).ravel()[0]
-    float(acc)
-    return batch_size * iters / (time.perf_counter() - t0)
+    per_batch = _timed_iters(sample, key, iters, warmups=1)
+    return batch_size / per_batch
 
 
 def measure_shapes_throughput(iters: int = 3, bs: int = 128,
@@ -260,15 +258,10 @@ def measure_shapes_throughput(iters: int = 3, bs: int = 128,
     @jax.jit
     def sample(key):
         x = jax.random.normal(key, (bs, img_size, img_size, 3), jnp.float32)
-        return samplers.ddim(eps_fn, schedule, x, n_steps)
+        return samplers.ddim(eps_fn, schedule, x, n_steps).sum()
 
-    float(sample(key).ravel()[0])
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + sample(jax.random.fold_in(key, 1 + i)).ravel()[0]
-    float(acc)
-    return bs * iters / (time.perf_counter() - t0)
+    per_batch = _timed_iters(sample, key, iters, warmups=1)
+    return bs / per_batch
 
 
 def main():
@@ -299,13 +292,23 @@ def main():
     ap.add_argument("--qkv_fused", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="DiT flagships: FusedQKVAttention (one QKV GEMM) "
-                         "instead of stock flax MHDPA — math-identical "
-                         "(test_models.py transplant parity) so the quality "
-                         "gate verdict carries over. Default ON since the "
-                         "bs-768 A/B (scripts/profile_dit.py, interleaved "
-                         "in-process): fwd 4.13 vs 4.28 ms stable across "
-                         "repeats, full 50-step 3-expert sampler 1295 vs "
-                         "1239 img/s. --no-qkv_fused restores stock MHDPA.")
+                         "instead of stock flax MHDPA — same math in exact "
+                         "arithmetic (test_models.py transplant parity; "
+                         "under bf16 the fused path softmaxes in fp32 where "
+                         "stock flax uses bf16, i.e. strictly more precise) "
+                         "so the quality gate verdict carries over. Default "
+                         "ON since the bs-768 A/B (scripts/profile_dit.py): "
+                         "full 50-step 3-expert sampler 1295 vs 1239 img/s. "
+                         "--no-qkv_fused restores stock MHDPA.")
+    ap.add_argument("--folded", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="DiT flagships: serve with models.dit."
+                         "make_folded_apply — per-step adaLN modulation/gate "
+                         "vectors folded into the GEMM weights, patchify as "
+                         "reshape+GEMM (VERDICT r3 item 1). Same param tree "
+                         "and math as DiT.apply (TestFoldedDiT parity), so "
+                         "the quality-gate verdict carries over. A/B vs "
+                         "stock in scripts/profile_dit.py.")
     ap.add_argument("--skip_extras", action="store_true",
                     help="measure only the headline MNIST sampler program "
                          "(skip train/shapes/DiT secondaries) — for "
@@ -351,7 +354,7 @@ def main():
                 ips = measure_dit_throughput(
                     batch_size=bs, iters=args.iters, dim=spec["d"],
                     depth=spec["l"], patch=spec["p"],
-                    qkv_fused=args.qkv_fused)
+                    qkv_fused=args.qkv_fused, folded=args.folded)
                 t = bs / ips
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
@@ -384,6 +387,12 @@ def main():
         "vs_baseline": round(best_ips / BASELINE_IMGS_PER_SEC, 3),
         "extra": {"flagship": args.flagship,
                   "quality_gate": "artifacts/quality_gate_r3",
+                  # attention/serving path of the HEADLINE number (ADVICE
+                  # r3: keep round-over-round comparisons unambiguous); the
+                  # dit_eval_flagship extra row is intentionally stock
+                  # (unfolded, MHDPA) so the r2 number stays trackable
+                  "qkv_fused": bool(args.qkv_fused),
+                  "folded": bool(args.folded),
                   "batch_size": best_bs,
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "unet64_parity_images_per_sec": round(unet_parity_ips, 1),

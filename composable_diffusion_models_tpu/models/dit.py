@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .embeddings import TimeEmbedding
+from .embeddings import TimeEmbedding, sinusoidal_embedding
 
 Array = jax.Array
 
@@ -49,7 +49,11 @@ class FusedQKVAttention(nn.Module):
     ONE ``(B*T, dim) x (dim, 3*dim)`` GEMM (M = B*T fills the MXU), keeps
     the scores in a single einsum pair, and applies the output projection as
     one more full-width GEMM. Same math as MHDPA with default flax settings
-    (scale 1/sqrt(head_dim), no attention bias), different param tree.
+    (scale 1/sqrt(head_dim), no attention bias) in exact arithmetic,
+    different param tree; under bf16 the two differ in softmax precision —
+    this module keeps fp32 softmax stats (repo numerics policy) where stock
+    flax 0.12 softmaxes in bf16 (force_fp32_for_softmax=False default), so
+    the fused path is strictly the more precise one (ADVICE r3).
     """
 
     dim: int
@@ -192,3 +196,164 @@ class DiT(nn.Module):
         out = out.reshape(b, gh, gw, self.patch, self.patch, self.in_channels)
         return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w,
                                                        self.in_channels)
+
+
+# ---------------------------------------------------------------------------
+# Folded serving path: adaLN modulation as per-step GEMM weight transforms.
+#
+# In every sampler scan body the time input t is batch-constant (the DDIM/SDE
+# samplers pass one scalar per step — samplers.py), and composition cells
+# condition every sample in the batch on the same label. The conditioning
+# vector c is therefore batch-size 1, and each block's six adaLN vectors
+# (shift, scale, gate) x (attention, MLP) are *per-step constants*. By
+# linearity they fold into the adjacent GEMMs:
+#
+#   (LN(x) * (1+scale) + shift) @ W + b  ==  LN(x) @ (W * (1+scale)[:,None])
+#                                            + (b + shift @ W)
+#   x + gate * (h @ Wp + bp)             ==  x + h @ (Wp * gate[None,:])
+#                                            + bp * gate
+#
+# so the folded forward runs norm-stats -> GEMM -> attention -> GEMM ->
+# residual with ZERO modulate/gate elementwise passes over the (B, N, D)
+# activations; the fold itself is O(D^2) per step per block — at the
+# flagship's batch sizes 3-4 orders of magnitude below the per-sample GEMM
+# work. Patchify/unpatchify run as reshape+GEMM instead of the strided conv
+# (the conv emitter sustained only 1.2 TF/s on the patch-7 shapes —
+# DESIGN.md §3.1 per-op table). Same math as DiT.apply (exact in real
+# arithmetic; bf16 rounding sites move — parity pinned by
+# test_models.py::TestFoldedDiT), same parameter tree (both the qkv_fused
+# and the stock-MHDPA checkpoint layouts are accepted), so quality-gate
+# verdicts carry over to the folded serving path unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _ln_nostats_fp32(x: Array) -> Array:
+    """flax LayerNorm(use_scale=False, use_bias=False, dtype=fp32) parity:
+    fp32 stats (fast-variance form, clamped), eps 1e-6, cast back."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True) - mu * mu)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+def _attn_kernels(bp, dim: int):
+    """(Wqkv, bqkv, Wproj, bproj) from either attention parameter layout.
+
+    FusedQKVAttention stores them directly; the stock flax MHDPA tree keeps
+    per-head (D, H, hd) kernels — reshaped/concatenated here exactly as the
+    transplant parity test does (test_models.py). The reshape is
+    scan-invariant (independent of t), so XLA hoists it out of the sampler
+    loop."""
+    if "FusedQKVAttention_0" in bp:
+        a = bp["FusedQKVAttention_0"]
+        return (a["qkv"]["kernel"], a["qkv"]["bias"],
+                a["proj"]["kernel"], a["proj"]["bias"])
+    a = bp["MultiHeadDotProductAttention_0"]
+    w_qkv = jnp.concatenate(
+        [a[k]["kernel"].reshape(dim, -1) for k in ("query", "key", "value")],
+        axis=1)
+    b_qkv = jnp.concatenate(
+        [a[k]["bias"].reshape(-1) for k in ("query", "key", "value")])
+    return w_qkv, b_qkv, a["out"]["kernel"].reshape(-1, dim), a["out"]["bias"]
+
+
+def _batch1(name: str, arr: Array) -> Array:
+    arr = jnp.asarray(arr)
+    if arr.ndim == 0:
+        arr = arr[None]
+    if arr.shape[0] != 1:
+        raise ValueError(
+            f"folded DiT requires batch-constant conditioning: {name} has "
+            f"leading dim {arr.shape[0]}, expected 1 (per-sample modulation "
+            f"vectors cannot fold into shared GEMM weights — use DiT.apply)")
+    return arr
+
+
+def make_folded_apply(model: DiT):
+    """Build ``apply(params, x, t, *labels)`` computing ``model.apply`` with
+    per-step adaLN folding (see module comment above). Drop-in for
+    ``ExpertStack``/samplers; requires t (and every label) batch-size 1."""
+
+    def apply(params: Any, x: Array, t: Array, *labels: Array) -> Array:
+        p = params["params"]
+        d, patch, cin = model.dim, model.patch, model.in_channels
+        b, hh, ww, _ = x.shape
+        if hh % patch or ww % patch:
+            raise ValueError(f"img {hh}x{ww} not divisible by patch {patch}")
+        gh, gw = hh // patch, ww // patch
+        n_tok = gh * gw
+        cdt = model.dtype or jnp.result_type(x)
+
+        def dense(v, dp, dt=cdt):
+            return (v.astype(dt) @ dp["kernel"].astype(dt)
+                    + dp["bias"].astype(dt))
+
+        # conditioning vector (1, D): time + summed batch-constant labels
+        t1 = _batch1("t", t)
+        te = p["TimeEmbedding_0"]
+        c = dense(nn.silu(dense(sinusoidal_embedding(t1, d), te["Dense_0"])),
+                  te["Dense_1"])
+        if model.num_classes:
+            assert len(labels) == len(model.num_classes), (
+                f"model takes {len(model.num_classes)} label slots, "
+                f"got {len(labels)}")
+            for i in range(len(model.num_classes)):
+                lab = _batch1(f"label {i}", labels[i])
+                emb = p[f"label_emb_{i}"]["embedding"].astype(cdt)
+                c = c + emb[lab]
+        sc = nn.silu(c)
+
+        # patchify as GEMM: (B, N, p*p*C) x (p*p*C, D); kernel flattening
+        # order (ph, pw, C) matches nn.Conv's (h, w, cin, cout) layout
+        w_pat = p["patchify"]["kernel"].reshape(patch * patch * cin, d)
+        xp = x.astype(cdt).reshape(b, gh, patch, gw, patch, cin)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, n_tok,
+                                                    patch * patch * cin)
+        tok = (xp @ w_pat.astype(cdt) + p["patchify"]["bias"].astype(cdt)
+               + p["pos_emb"].astype(cdt))
+
+        n_heads = model.n_heads
+        hd = d // n_heads
+        for i in range(model.depth):
+            bp = p[f"block_{i}"]
+            mod = dense(sc, bp["Dense_0"])[0]  # (6D,) per-step constants
+            (sa_shift, sa_scale, sa_gate,
+             m_shift, m_scale, m_gate) = jnp.split(mod, 6)
+
+            # --- attention, modulation folded into qkv / gate into proj ---
+            w_qkv, b_qkv, w_pr, b_pr = _attn_kernels(bp, d)
+            w_qkv, b_qkv = w_qkv.astype(cdt), b_qkv.astype(cdt)
+            w_pr, b_pr = w_pr.astype(cdt), b_pr.astype(cdt)
+            qkv = (_ln_nostats_fp32(tok)
+                   @ (w_qkv * (1.0 + sa_scale)[:, None])
+                   + (b_qkv + sa_shift @ w_qkv))
+            qkv = qkv.reshape(b, n_tok, 3, n_heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(hd, cdt))
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdt), v)
+            tok = tok + (o.reshape(b, n_tok, d)
+                         @ (w_pr * sa_gate[None, :]) + b_pr * sa_gate)
+
+            # --- MLP, same folds ---
+            w1 = bp["Dense_1"]["kernel"].astype(cdt)
+            b1 = bp["Dense_1"]["bias"].astype(cdt)
+            w2 = bp["Dense_2"]["kernel"].astype(cdt)
+            b2 = bp["Dense_2"]["bias"].astype(cdt)
+            h = nn.gelu(_ln_nostats_fp32(tok)
+                        @ (w1 * (1.0 + m_scale)[:, None]) + (b1 + m_shift @ w1))
+            tok = tok + (h @ (w2 * m_gate[None, :]) + b2 * m_gate)
+
+        # final adaLN folded into the fp32 unpatchify head
+        fmod = dense(sc, p["final_mod"])[0].astype(jnp.float32)
+        f_shift, f_scale = jnp.split(fmod, 2)
+        w_u = p["unpatchify"]["kernel"].astype(jnp.float32)
+        out = (_ln_nostats_fp32(tok).astype(jnp.float32)
+               @ (w_u * (1.0 + f_scale)[:, None])
+               + (p["unpatchify"]["bias"].astype(jnp.float32)
+                  + f_shift @ w_u))
+        out = out.reshape(b, gh, gw, patch, patch, cin)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cin)
+
+    return apply

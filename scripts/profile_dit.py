@@ -28,7 +28,8 @@ from profile_unet import timed_scan
 from composable_diffusion_models_tpu import compose, experts, samplers
 from composable_diffusion_models_tpu.models import DiT
 from composable_diffusion_models_tpu.models.dit import (DiTBlock,
-                                                        FusedQKVAttention)
+                                                        FusedQKVAttention,
+                                                        make_folded_apply)
 from composable_diffusion_models_tpu.schedules import VPSchedule
 
 
@@ -55,7 +56,7 @@ def main():
     def rand(shape):
         return jax.random.normal(key, shape, dt)
 
-    # ---- full forwards, both attention variants, A/B interleaved ---------
+    # ---- full forwards: stock MHDPA / fused-qkv / FOLDED, A/B interleaved -
     x = rand((bs, img, img, 1))
     t = jnp.full((1,), 0.5, dt)
     variants = {}
@@ -67,12 +68,19 @@ def main():
             lambda p: p.astype(dt),
             model.init(key, jnp.zeros((1, img, img, 1)), jnp.ones((1,))))
         variants[fused] = (model, params)
-    for rep in range(2):  # interleave: stock, fused, stock, fused
-        for fused in (False, True):
-            model, params = variants[fused]
-            sec = timed_scan(lambda xx, m=model, p=params: m.apply(p, xx, t),
-                             (x,), args.reps)
-            tag = "fused-qkv" if fused else "stock MHDPA"
+    fwd_fns = {
+        "stock MHDPA": (lambda xx: variants[False][0].apply(
+            variants[False][1], xx, t)),
+        "fused-qkv": (lambda xx: variants[True][0].apply(
+            variants[True][1], xx, t)),
+        # r4 serving path: adaLN folded into per-step GEMM weights,
+        # patchify as GEMM (same param tree as fused-qkv)
+        "FOLDED": (lambda xx, f=make_folded_apply(variants[True][0]):
+                   f(variants[True][1], xx, t)),
+    }
+    for rep in range(2):  # interleave all variants per round
+        for tag, fn in fwd_fns.items():
+            sec = timed_scan(fn, (x,), args.reps)
             rows.append((f"DiT fwd ({tag}) r{rep}", sec, dit_flops(
                 bs, n_tok, d, args.depth, args.heads)))
 
@@ -142,43 +150,58 @@ def main():
     rows.append((f"ideal GEMM {m}x1024x{m} (= fwd FLOPs)", sec,
                  2 * m * m * 1024))
 
-    # ---- the decision number: full 50-step 3-expert DDIM, both variants --
+    # ---- the decision number: full 50-step 3-expert DDIM ------------------
+    # Variants x expert layout, INTERLEAVE-REPEATED (ADVICE r3: a single
+    # sequential pass per variant is unreliable for diffs < ~15% on the
+    # shared-tenancy chip — alternate compiled programs across outer rounds
+    # and keep the per-variant BEST). Forcing: the jitted program returns
+    # out.sum() (full-tensor dependency inside the program); the timed loop
+    # collects async scalars and blocks once at the end — zero eager ops in
+    # the timed window (ADVICE r3 item 4).
     schedule = VPSchedule()
     w3 = jnp.ones((args.experts,), jnp.float32)
-    ips = {}
-    # (attention variant) x (expert layout): the ExpertStack unroll-vs-vmap
-    # measurement was made on the conv UNet (grouped-conv lowering 22%
-    # slower); for a pure-GEMM transformer vmap-over-params lowers to
-    # batched dot_general, which may WIN — measure, don't assume.
-    for fused in (False, True):
-        for unroll_below in (5, 1):  # 5 = unrolled (K=3 < 5); 1 = vmapped
-            model, _ = variants[fused]
-            params3 = [jax.tree_util.tree_map(
-                lambda p: p.astype(dt),
-                model.init(jax.random.fold_in(key, i),
-                           jnp.zeros((1, img, img, 1)), jnp.ones((1,))))
-                for i in range(args.experts)]
-            stack = experts.ExpertStack(model.apply, params3,
-                                        unroll_below=unroll_below)
 
-            def eps_fn(xx, tt, stack=stack):
-                eps = stack(xx.astype(dt), tt.astype(dt))
-                return compose.weighted(eps.astype(jnp.float32), w3)
+    def build_sampler(model, apply_fn, unroll_below):
+        params3 = [jax.tree_util.tree_map(
+            lambda p: p.astype(dt),
+            model.init(jax.random.fold_in(key, i),
+                       jnp.zeros((1, img, img, 1)), jnp.ones((1,))))
+            for i in range(args.experts)]
+        stack = experts.ExpertStack(apply_fn, params3,
+                                    unroll_below=unroll_below)
 
-            @jax.jit
-            def sample(k, eps_fn=eps_fn):
-                xi = jax.random.normal(k, (bs, img, img, 1), jnp.float32)
-                return samplers.ddim(eps_fn, schedule, xi, 50)
+        def eps_fn(xx, tt):
+            eps = stack(xx.astype(dt), tt.astype(dt))
+            return compose.weighted(eps.astype(jnp.float32), w3)
 
-            float(sample(key).ravel()[0])
+        @jax.jit
+        def sample(k):
+            xi = jax.random.normal(k, (bs, img, img, 1), jnp.float32)
+            return samplers.ddim(eps_fn, schedule, xi, 50).sum()
+
+        return sample
+
+    stock_model, fused_model = variants[False][0], variants[True][0]
+    samplers_by_tag = {
+        ("stock", "unroll"): build_sampler(stock_model, stock_model.apply, 5),
+        ("fused", "unroll"): build_sampler(fused_model, fused_model.apply, 5),
+        ("folded", "unroll"): build_sampler(
+            fused_model, make_folded_apply(fused_model), 5),
+        ("folded", "vmap"): build_sampler(
+            fused_model, make_folded_apply(fused_model), 1),
+    }
+    for tag, sample in samplers_by_tag.items():  # compile+warm all first
+        float(sample(key))
+    ips = {tag: 0.0 for tag in samplers_by_tag}
+    for rnd in range(3):
+        for tag, sample in samplers_by_tag.items():
             t0 = time.perf_counter()
-            acc = jnp.zeros(())
-            for i in range(3):
-                acc = acc + sample(jax.random.fold_in(key, i)).ravel()[0]
-            float(acc)
-            tag = ("fused" if fused else "stock",
-                   "vmap" if unroll_below == 1 else "unroll")
-            ips[tag] = bs * 3 / (time.perf_counter() - t0)
+            outs = [sample(jax.random.fold_in(key, 7 * rnd + i))
+                    for i in range(3)]
+            float(jnp.stack(outs).sum())
+            v = bs * 3 / (time.perf_counter() - t0)
+            ips[tag] = max(ips[tag], v)
+            print(f"  round {rnd} {tag}: {v:.1f} img/s")
 
     # ---- table ------------------------------------------------------------
     print(f"\nbs={bs} patch={args.patch} dim={d} depth={args.depth} "

@@ -508,3 +508,104 @@ def test_dp_snr_gamma_matches_single_device(key):
     loss_fn = make_loss_fn(model.apply, VPSchedule(), snr_gamma=5.0)
     loss_1d = loss_fn(params, key, batch, ())
     np.testing.assert_allclose(float(loss_dp), float(loss_1d), rtol=1e-4)
+
+
+# ---- EP communication minimality (VERDICT r3 item 7) -----------------------
+# Correctness tests above prove the sharded programs compute the right
+# numbers on the virtual mesh; these pin the COMMUNICATION STRUCTURE via
+# compiled-HLO inspection, guarding the multi-chip story against regressions
+# (e.g. a partitioner change silently all-gathering the expert params) that
+# no numerical test would catch.
+
+_COLLECTIVE_RE = __import__("re").compile(
+    r"= (.+?) (all-reduce|all-gather|all-to-all|collective-permute|"
+    r"reduce-scatter)(?:-start)?\((.*)")
+_GROUPS_RE = __import__("re").compile(r"replica_groups=\{(\{[\d,}{]+\})\}")
+
+
+def _collectives(compiled_text):
+    """[(kind, out_shape, replica_groups_str)] from compiled HLO text."""
+    out = []
+    for line in compiled_text.splitlines():
+        m = _COLLECTIVE_RE.search(line)
+        if m:
+            g = _GROUPS_RE.search(line)
+            out.append((m.group(2), m.group(1), g.group(1) if g else ""))
+    return out
+
+
+def _shape_elems(shape_str):
+    dims = shape_str.split("[")[1].split("]")[0]
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n
+
+
+def test_ep_sampler_collectives_minimal(key):
+    """The EP composed DDIM program contains EXACTLY ONE collective: the
+    weighted-eps-blend all-reduce over the expert axis, moving one local eps
+    shard (B/data x H x W x C) per step — no all-gathers of params, no
+    permutes, nothing on the data axis."""
+    from composable_diffusion_models_tpu.parallel import (
+        make_expert_parallel_eps_fn)
+
+    mesh = make_mesh({"expert": 2, "data": 4})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params_list = [
+        model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)))
+        for i in range(2)
+    ]
+    stacked = experts.stack_params(params_list)
+    bs = 8
+    with mesh:
+        stacked = shard_pytree_leading(stacked, mesh, "expert")
+        eps_fn = make_expert_parallel_eps_fn(model.apply, mesh, stacked,
+                                             jnp.ones((2,)))
+        x = shard_batch(jax.random.normal(key, (bs, 16, 16, 1)), mesh)
+        compiled = jax.jit(
+            lambda xx: samplers.ddim(eps_fn, VPSchedule(), xx, 5)
+        ).lower(x).compile()
+    colls = _collectives(compiled.as_text())
+    kinds = [c[0] for c in colls]
+    assert kinds == ["all-reduce"], kinds
+    kind, shape, groups = colls[0]
+    # one local eps shard: (bs / data_axis) x 16 x 16 x 1 (+ a possible
+    # leading local-expert dim of size 1 folded away by XLA)
+    assert _shape_elems(shape) == (bs // 4) * 16 * 16 * 1, shape
+    # the reduction spans the EXPERT axis: device pairs differing in the
+    # expert coordinate of the (2, 4) mesh — {0,4},{1,5},{2,6},{3,7}
+    assert groups == "{0,4},{1,5},{2,6},{3,7}", groups
+
+
+def test_ep_train_step_collectives_data_axis_only(key):
+    """The EP train step's only collectives are the grad/loss pmeans over
+    'data' WITHIN each expert group — nothing crosses the expert axis, and
+    no all-gather/permute of params exists anywhere in the compiled module."""
+    mesh = make_mesh({"expert": 2, "data": 4})
+    model = UNet(in_channels=1, base_dim=8, channel_mults=(1, 2))
+    x0 = jnp.zeros((1, 16, 16, 1))
+    params_list = [
+        model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)))
+        for i in range(2)
+    ]
+    stacked = experts.stack_params(params_list)
+    tx = optax.adam(1e-3)
+    opt = jax.vmap(tx.init)(stacked)
+    batch = jax.random.normal(key, (2, 8, 16, 16, 1))
+    step = make_expert_parallel_train_step(model.apply, VPSchedule(), tx,
+                                           mesh)
+    with mesh:
+        stacked = shard_pytree_leading(stacked, mesh, "expert")
+        opt = shard_pytree_leading(opt, mesh, "expert")
+        batch = shard_expert_batch(batch, mesh)
+        compiled = step.lower(stacked, opt, key, batch).compile()
+    colls = _collectives(compiled.as_text())
+    assert colls, "expected data-axis pmean all-reduces, found none"
+    data_groups = "{0,1,2,3},{4,5,6,7}"
+    for kind, _, groups in colls:
+        assert kind == "all-reduce", (kind, groups)
+        assert groups == data_groups, (
+            f"collective crosses the expert axis: {kind} over {groups}")

@@ -264,6 +264,29 @@ def measure_shapes_throughput(iters: int = 3, bs: int = 128,
     return bs / per_batch
 
 
+def gate_verdict(flagship: str):
+    """Newest committed quality-gate verdict for a flagship config, from
+    artifacts/quality_gate*/quality_<flagship>*.json ("verdict" written by
+    scripts/quality_gate_flagship.py --baseline since r4). Returns
+    (verdict_or_None, path_or_None)."""
+    import glob
+    import os
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(root, "artifacts", "quality_gate*",
+                               f"quality_{flagship}*.json")),
+        key=os.path.getmtime)
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                v = json.load(f).get("verdict")
+        except (OSError, ValueError):
+            continue
+        if v:
+            return v, p
+    return None, None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--flagship", default="dit_p7_d256_l8",
@@ -309,12 +332,30 @@ def main():
                          "and math as DiT.apply (TestFoldedDiT parity), so "
                          "the quality-gate verdict carries over. A/B vs "
                          "stock in scripts/profile_dit.py.")
+    ap.add_argument("--force", action="store_true",
+                    help="measure a flagship whose newest committed quality "
+                         "gate verdict is FAIL (headline numbers must come "
+                         "from quality-gated configs — VERDICT r3 item 4)")
     ap.add_argument("--skip_extras", action="store_true",
                     help="measure only the headline MNIST sampler program "
                          "(skip train/shapes/DiT secondaries) — for "
                          "candidate-width sweeps where only the headline "
                          "path varies; extras report 0.0")
     args = ap.parse_args()
+
+    verdict, vpath = gate_verdict(args.flagship)
+    if verdict == "FAIL" and not args.force:
+        print(f"FATAL: flagship {args.flagship!r} FAILED its newest quality "
+              f"gate ({vpath}) — a non-passing config may not be the "
+              "headline. Re-gate it (scripts/quality_gate_flagship.py) or "
+              "pass --force for an exploratory measurement.",
+              file=sys.stderr)
+        sys.exit(2)
+    if verdict is None:
+        print(f"# no committed gate verdict found for {args.flagship!r} "
+              "(pre-r4 gate artifacts are human-read; "
+              "artifacts/quality_gate_r3 covers dit_p7_d256_l8 and unet64)",
+              file=sys.stderr)
 
     # Fail fast (and legibly) when the tunneled TPU is unreachable: a hung
     # tunnel blocks the first device op forever, which would record as an
@@ -386,7 +427,8 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(best_ips / BASELINE_IMGS_PER_SEC, 3),
         "extra": {"flagship": args.flagship,
-                  "quality_gate": "artifacts/quality_gate_r3",
+                  "quality_gate": (vpath or "artifacts/quality_gate_r3"),
+                  "quality_gate_verdict": verdict,
                   # attention/serving path of the HEADLINE number (ADVICE
                   # r3: keep round-over-round comparisons unambiguous); the
                   # dit_eval_flagship extra row is intentionally stock

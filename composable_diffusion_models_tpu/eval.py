@@ -48,7 +48,8 @@ class ProbeClassifier(nn.Module):
         super().__post_init__()
 
     @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, ...]:
+    def __call__(self, x: Array,
+                 return_features: bool = False) -> Tuple[Array, ...]:
         h = x.astype(self.dtype or x.dtype)
         for i, mult in enumerate((1, 2, 4)):
             h = nn.Conv(self.base_dim * mult, (3, 3), strides=(2, 2),
@@ -56,9 +57,14 @@ class ProbeClassifier(nn.Module):
             h = nn.silu(h)
         h = jnp.mean(h, axis=(1, 2))                       # global average pool
         h = nn.silu(nn.Dense(128, dtype=self.dtype)(h))
-        return tuple(
+        heads = tuple(
             nn.Dense(n, name=f"head_{i}")(h.astype(jnp.float32))
             for i, n in enumerate(self.num_classes))
+        if return_features:
+            # penultimate features for distributional metrics (FID-lite,
+            # within-class diversity) — same params, optional extra output
+            return heads, h.astype(jnp.float32)
+        return heads
 
 
 def train_probe(key: Array, images: Array, labels: Sequence[Array], *,
@@ -189,6 +195,79 @@ def compositional_scores(model: ProbeClassifier, params: Params,
     out["joint_acc"] = float(jnp.mean(joint))
     out["joint_target_prob"] = float(jnp.mean(joint_p))
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_features(model: ProbeClassifier):
+    return jax.jit(lambda p, x: model.apply(p, x, return_features=True))
+
+
+def probe_features(model: ProbeClassifier, params: Params,
+                   images: Array) -> Array:
+    """Penultimate-layer features (N, 128) — the embedding space for the
+    distributional metrics below."""
+    return _jitted_features(model)(params, images)[1]
+
+
+def frechet_probe_distance(feats_a: Array, feats_b: Array,
+                           eps: float = 1e-6) -> float:
+    """FID-lite (VERDICT r3 item 8): Fréchet distance between Gaussian fits
+    of two probe-feature sets, ||mu_a - mu_b||^2 + tr(Ca + Cb - 2(Ca Cb)^1/2).
+
+    The probe's penultimate features stand in for the Inception embedding
+    (standard FID is meaningless on 28x28 glyphs and unavailable offline).
+    Joint accuracy alone cannot price in off-distribution texture — the
+    speckle-noise background visible in composed grids classifies fine but
+    shifts the feature distribution; this metric numbers that gap. The
+    matrix sqrt uses the symmetric-eigh form sqrt(Ca Cb) ~ eigvals of
+    A^1/2 Cb A^1/2 (PSD-safe, negative eigenvalues clamped)."""
+    a = jnp.asarray(feats_a, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32)
+    b = jnp.asarray(feats_b, a.dtype)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = jnp.cov(a, rowvar=False) + eps * jnp.eye(a.shape[1], dtype=a.dtype)
+    cb = jnp.cov(b, rowvar=False) + eps * jnp.eye(b.shape[1], dtype=b.dtype)
+    # A^1/2 via eigh, then tr sqrt(A^1/2 Cb A^1/2) = sum sqrt(eigvals)
+    wa, va = jnp.linalg.eigh(ca)
+    a_half = (va * jnp.sqrt(jnp.maximum(wa, 0.0))) @ va.T
+    m = a_half @ cb @ a_half
+    wm = jnp.linalg.eigvalsh(m)
+    tr_sqrt = jnp.sum(jnp.sqrt(jnp.maximum(wm, 0.0)))
+    d2 = (jnp.sum((mu_a - mu_b) ** 2) + jnp.trace(ca) + jnp.trace(cb)
+          - 2.0 * tr_sqrt)
+    return float(jnp.maximum(d2, 0.0))
+
+
+def within_class_diversity(model: ProbeClassifier, params: Params,
+                           samples: Array, head: int = 0) -> Dict[str, float]:
+    """Mean pairwise feature distance WITHIN each predicted class (VERDICT
+    r3 item 4: class-histogram entropy alone cannot see a sampler that emits
+    one archetype per class — per-class feature spread can).
+
+    Returns mean/min over classes (>= 2 members) of the per-class mean
+    pairwise Euclidean distance in probe feature space. A mode-collapsed
+    sampler (one image per class) scores ~0; compare against the same stat
+    on real data (gate: candidate >= fraction of the real/baseline value).
+    """
+    logits = _jitted_apply(model)(params, samples)[head]
+    preds = jnp.argmax(logits, axis=-1)
+    feats = probe_features(model, params, samples)
+    import numpy as np
+    feats_np, preds_np = np.asarray(feats), np.asarray(preds)
+    per_class = []
+    for c in np.unique(preds_np):
+        f = feats_np[preds_np == c]
+        if f.shape[0] < 2:
+            continue
+        d = np.sqrt(np.maximum(
+            ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1), 0.0))
+        iu = np.triu_indices(f.shape[0], k=1)
+        per_class.append(float(d[iu].mean()))
+    if not per_class:
+        return {"diversity_mean": 0.0, "diversity_min": 0.0, "n_classes": 0}
+    return {"diversity_mean": float(np.mean(per_class)),
+            "diversity_min": float(np.min(per_class)),
+            "n_classes": len(per_class)}
 
 
 def joint_hits(model: ProbeClassifier, params: Params, samples: Array,

@@ -124,3 +124,25 @@ def apply_runtime_flags(args) -> None:
         os.makedirs("outputs/profile", exist_ok=True)
         jax.profiler.start_trace("outputs/profile")
         atexit.register(jax.profiler.stop_trace)
+
+
+def require_accelerator(retries: int = 3, timeout_s: float = 60.0) -> None:
+    """Fail fast when the tunneled TPU is unreachable (same probe as
+    bench.py): a DEAD-BUT-CONNECTED tunnel blocks the first device op
+    FOREVER and poisons the backend-init lock — a measurement script that
+    skips this check hangs silently with zero CPU use (observed r4). Probe
+    in a killable subprocess with bounded retries before any device work."""
+    import time as _time
+
+    from __graft_entry__ import _safe_device_count
+
+    for attempt in range(retries):
+        if _safe_device_count(timeout_s=timeout_s):
+            return
+        print(f"# device probe {attempt + 1}/{retries} failed; retrying "
+              "in 20 s", file=sys.stderr)
+        _time.sleep(20)
+    print("FATAL: no usable accelerator backend — the TPU tunnel is down "
+          "(environmental). Re-run when it recovers, or pass --cpu.",
+          file=sys.stderr)
+    sys.exit(3)

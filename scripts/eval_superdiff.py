@@ -88,17 +88,41 @@ def run_mixture(key, args, schedule, out_dir):
         return jnp.stack([model.apply(p0, x, t), model.apply(p1, x, t)])
 
     bs = args.n_samples
+    d = 28 * 28 * 3
     report = {"protocol": "mixture", "subsets": [list(s) for s in subsets],
-              "T": args.T, "train_steps": args.train_steps, "ops": {}}
-    jobs = [("OR", lambda k: samplers.superdiff(
-                eps_stack_fn, schedule, k,
-                jax.random.normal(jax.random.fold_in(k, 1), (bs, 28, 28, 3)),
-                operation="OR", temp=args.temp)),
-            ("AND_heuristic", lambda k: samplers.superdiff(
+              "T": args.T, "train_steps": args.train_steps, "dim": d,
+              "ops": {}}
+
+    # OR temperature sweep (VERDICT r3 item 5): log_q sums <dx, s> over the
+    # whole T-step trajectory of a d-dim image, so its scale grows with d
+    # and T and softmax at temp 1 is winner-take-most by construction. The
+    # sweep normalizes log_q by 1, 1/d, 1/(d*T), ... before the softmax —
+    # ONE temperature per OR job, experts trained once. Tokens "1/d" and
+    # "1/dT" resolve against the actual image dim and T.
+    def parse_temp(tok):
+        tok = tok.strip()
+        if tok == "1/d":
+            return 1.0 / d
+        if tok == "1/dT":
+            return 1.0 / (d * args.T)
+        return float(tok)
+
+    temps = ([parse_temp(s) for s in args.temp_sweep.split(",")]
+             if args.temp_sweep else [args.temp])
+
+    def or_job(temp):
+        return lambda k: samplers.superdiff(
+            eps_stack_fn, schedule, k,
+            jax.random.normal(jax.random.fold_in(k, 1), (bs, 28, 28, 3)),
+            operation="OR", temp=temp)
+
+    jobs = [(f"OR_temp{temp:g}" if len(temps) > 1 else "OR", or_job(temp))
+            for temp in temps]
+    jobs += [("AND_heuristic", lambda k: samplers.superdiff(
                 eps_stack_fn, schedule, k,
                 jax.random.normal(jax.random.fold_in(k, 1), (bs, 28, 28, 3)),
                 operation="AND")),
-            ("AND_rigorous", lambda k: samplers.superdiff_and_solve(
+             ("AND_rigorous", lambda k: samplers.superdiff_and_solve(
                 eps_stack_fn, schedule, k,
                 jax.random.normal(jax.random.fold_in(k, 1), (bs, 28, 28, 3)),
                 mode="AND"))]
@@ -232,6 +256,13 @@ def main():
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("--base_dim", type=int, default=64)
     ap.add_argument("--temp", type=float, default=1.0)
+    ap.add_argument("--temp_sweep", default="",
+                    help="mixture protocol: comma list of OR softmax "
+                         "temperatures swept on the SAME trained experts "
+                         "(one OR job per value). Accepts floats and the "
+                         "tokens 1/d and 1/dT (resolved against the image "
+                         "dim and --T). VERDICT r3 item 5: characterize or "
+                         "fix the measured OR collapse at temp=1.")
     ap.add_argument("--probe_steps", type=int, default=2000)
     ap.add_argument("--n_samples", type=int, default=256,
                     help="mixture protocol sample count")

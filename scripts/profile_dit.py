@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from _common import add_runtime_flags, apply_runtime_flags
+from _common import (add_runtime_flags, apply_runtime_flags,
+                     require_accelerator)
 from profile_unet import timed_scan
 from composable_diffusion_models_tpu import compose, experts, samplers
 from composable_diffusion_models_tpu.models import DiT
@@ -46,6 +47,8 @@ def main():
     add_runtime_flags(ap)
     args, _ = ap.parse_known_args()
     apply_runtime_flags(args)
+    if not args.cpu:
+        require_accelerator()
 
     bs, d, img = args.bs, args.dim, args.img
     n_tok = (img // args.patch) ** 2

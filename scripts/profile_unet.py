@@ -22,7 +22,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from _common import add_runtime_flags, apply_runtime_flags
+from _common import (add_runtime_flags, apply_runtime_flags,
+                     require_accelerator)
 from composable_diffusion_models_tpu import compose, experts, samplers
 from composable_diffusion_models_tpu.models import UNet
 from composable_diffusion_models_tpu.models.unet import (GNSiLU, ResBlock,
@@ -68,6 +69,8 @@ def main():
     add_runtime_flags(ap)
     args, _ = ap.parse_known_args()
     apply_runtime_flags(args)
+    if not args.cpu:
+        require_accelerator()
 
     bs, bd, img = args.bs, args.base_dim, args.img
     cin0, n_exp = args.in_ch, args.experts

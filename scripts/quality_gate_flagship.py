@@ -19,11 +19,29 @@ that gate, run per candidate architecture:
      one jitted 50-step DDIM scan) and score the composed samples:
      in-union fraction, mean confidence, class-distribution entropy.
 
-Gate: a candidate passes when its solo in-subset accuracy and confidence
-and its composed-sample stats are >= the base-64 run's (within noise read
-off the JSON by a human; the committed artifact is the evidence).
+Gate (SELF-JUDGING since r4 — VERDICT r3 item 4): pass ``--baseline`` (a
+prior run's quality_*.json, or a config name also in --configs) and every
+candidate is compared automatically:
 
-Outputs: grids + one JSON per config under --out.
+  PASS requires, within --tol of the baseline:  composed in-union >=,
+  solo min in-subset >=, composed class entropy >=;  plus two
+  distributional guards a class-histogram could not see:  within-class
+  probe-feature diversity >= --div_frac x baseline's (a mode-collapse
+  sampler emitting one archetype per class scores ~0 here —
+  test_eval.py::test_mode_collapse_fails_diversity), and FID-lite
+  (Frechet distance in probe feature space vs real full-data images,
+  VERDICT r3 item 8) <= --fid_slack x baseline's.
+
+The verdict lands in the JSON ("verdict": "PASS"/"FAIL" + per-criterion
+numbers) and the process exits nonzero if any candidate fails — bench.py
+refuses a flagship whose newest gate verdict is FAIL unless --force.
+
+DiT candidates SAMPLE through models.dit.make_folded_apply (the r4 bench
+serving path; same param tree + math as DiT.apply, TestFoldedDiT), so the
+verdict is measured on the exact program the bench runs.
+
+Outputs: grids + one JSON per config under --out (filename carries
+train_steps when != 12000 so budget-axis runs coexist — VERDICT r3 item 2).
 """
 
 import argparse
@@ -53,19 +71,62 @@ def build_model(name: str, dtype):
                     32 = the reference's own M5 width).
     dit_p<P>_d<D>_l<L> — throughput-sized DiT (models/dit.py), patch P,
                     dim D, depth L.
-    """
+
+    Returns (model, serve_fn): serve_fn is the apply the BENCH runs — the
+    folded fast path for DiTs (models.dit.make_folded_apply), plain apply
+    for UNets."""
     if name.startswith("unet"):
-        return UNet(in_channels=1, base_dim=int(name[4:]),
-                    channel_mults=(1, 2, 4), dtype=dtype)
+        m = UNet(in_channels=1, base_dim=int(name[4:]),
+                 channel_mults=(1, 2, 4), dtype=dtype)
+        return m, m.apply
     if name.startswith("dit"):
+        from composable_diffusion_models_tpu.models import make_folded_apply
         parts = {p[0]: int(p[1:]) for p in name.split("_")[1:]}
-        return DiT(patch=parts["p"], dim=parts["d"], depth=parts["l"],
-                   n_heads=8, in_channels=1, dtype=dtype)
+        m = DiT(patch=parts["p"], dim=parts["d"], depth=parts["l"],
+                n_heads=8, in_channels=1, dtype=dtype)
+        return m, make_folded_apply(m)
     raise ValueError(f"unknown config {name}")
 
 
-def probe_stats(probe, probe_params, samples, allowed):
-    """Digit-probe statistics on [-1,1] NHWC samples."""
+GATE_CRITERIA = (
+    # (name, candidate_extractor, direction, kind)
+    ("composed_in_union", lambda r: r["composed"]["in_set_frac"], ">=", "tol"),
+    ("solo_min_in_set",
+     lambda r: min(s["in_set_frac"] for s in r["solo"].values()), ">=", "tol"),
+    ("composed_entropy", lambda r: r["composed"]["class_entropy"], ">=",
+     "tol"),
+    ("composed_diversity", lambda r: r["composed"]["diversity_mean"], ">=",
+     "frac"),
+    ("composed_fid", lambda r: r["composed"]["fid_probe"], "<=", "slack"),
+)
+
+
+def judge(report: dict, baseline: dict, tol: float, div_frac: float,
+          fid_slack: float, criteria=GATE_CRITERIA) -> dict:
+    """PASS iff every criterion holds vs the baseline report (see module
+    docstring). Returns {"verdict", "criteria": {...}}. ``criteria`` rows
+    are (name, extractor, direction, kind) — quality_gate_shapes.py reuses
+    the judge with its own rows."""
+    crit = {}
+    ok_all = True
+    for name, get, direction, kind in criteria:
+        cand, base = get(report), get(baseline)
+        if kind == "tol":
+            ok = cand >= base - tol
+        elif kind == "frac":
+            ok = cand >= div_frac * base
+        else:  # slack (lower is better)
+            ok = cand <= fid_slack * base + 1e-6
+        crit[name] = {"candidate": round(cand, 4), "baseline": round(base, 4),
+                      "direction": direction, "ok": bool(ok)}
+        ok_all = ok_all and ok
+    return {"verdict": "PASS" if ok_all else "FAIL", "criteria": crit}
+
+
+def probe_stats(probe, probe_params, samples, allowed, real_feats=None):
+    """Digit-probe statistics on [-1,1] NHWC samples. With ``real_feats``
+    (features of real full-data images) adds the r4 distributional stats:
+    within-class diversity + FID-lite."""
     logits = ceval._jitted_apply(probe)(probe_params, samples)[0]
     probs = jax.nn.softmax(logits, axis=-1)
     preds = jnp.argmax(probs, axis=-1)
@@ -73,7 +134,7 @@ def probe_stats(probe, probe_params, samples, allowed):
     hist = jnp.bincount(preds, length=10) / preds.shape[0]
     in_set = jnp.isin(preds, jnp.asarray(allowed))
     ent = -jnp.sum(jnp.where(hist > 0, hist * jnp.log(hist), 0.0))
-    return {
+    out = {
         "in_set_frac": float(jnp.mean(in_set)),
         "mean_max_prob": float(jnp.mean(maxp)),
         "mean_max_prob_in_set": float(jnp.sum(maxp * in_set)
@@ -81,6 +142,12 @@ def probe_stats(probe, probe_params, samples, allowed):
         "class_hist": [round(float(h), 4) for h in hist],
         "class_entropy": float(ent),
     }
+    if real_feats is not None:
+        out.update(ceval.within_class_diversity(probe, probe_params, samples))
+        feats = ceval.probe_features(probe, probe_params, samples)
+        out["fid_probe"] = round(
+            ceval.frechet_probe_distance(feats, real_feats), 4)
+    return out
 
 
 def main():
@@ -102,6 +169,19 @@ def main():
     ap.add_argument("--sanity", action="store_true")
     ap.add_argument("--out", default="outputs/quality_gate")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--baseline", default="",
+                    help="self-judging gate (VERDICT r3 item 4): a prior "
+                         "run's quality_*.json path, or a config name also "
+                         "in --configs (judged in-run). Empty = report only.")
+    ap.add_argument("--tol", type=float, default=0.02,
+                    help="absolute noise tolerance on the accuracy/entropy "
+                         "criteria")
+    ap.add_argument("--div_frac", type=float, default=0.5,
+                    help="candidate within-class diversity must be >= this "
+                         "fraction of the baseline's")
+    ap.add_argument("--fid_slack", type=float, default=1.5,
+                    help="candidate FID-lite must be <= this multiple of "
+                         "the baseline's")
     add_runtime_flags(ap)
     args, _ = ap.parse_known_args()
     apply_runtime_flags(args)
@@ -127,15 +207,19 @@ def main():
                                   (full_labels[:512],))
     print(f"probe held-in accuracy: {sanity}")
 
+    # real-data features for FID-lite + the diversity baseline anchor
+    real_feats = ceval.probe_features(probe, probe_params, full_imgs[:2048])
+
     subset_data = [
         data.get_mnist(jax.random.fold_in(key, 3 + i), n=args.data_n,
                        classes=list(s))[0]
         for i, s in enumerate(SUBSETS)
     ]
 
+    reports = {}
     for cfg_name in args.configs.split(","):
         print(f"=== config {cfg_name} ===")
-        model = build_model(cfg_name, dtype)
+        model, serve_fn = build_model(cfg_name, dtype)
         x0 = jnp.zeros((1, 28, 28, 1))
         params_list = []
         for i, imgs in enumerate(subset_data):
@@ -160,8 +244,8 @@ def main():
         # solo sampling per expert — the bench compute path at K=1
         for i, p in enumerate(params_list):
             def eps_fn(x, t, p=p):
-                return model.apply(p, x.astype(dtype),
-                                   t.astype(dtype)).astype(jnp.float32)
+                return serve_fn(p, x.astype(dtype),
+                                t.astype(dtype)).astype(jnp.float32)
 
             @jax.jit
             def solo(k):
@@ -170,7 +254,8 @@ def main():
                 return samplers.ddim(eps_fn, schedule, x, args.n_steps)
 
             samples = solo(jax.random.fold_in(key, 30 + i))
-            stats = probe_stats(probe, probe_params, samples, SUBSETS[i])
+            stats = probe_stats(probe, probe_params, samples, SUBSETS[i],
+                                real_feats)
             report["solo"][f"expert_{i}"] = stats
             save_grid(samples[:64],
                       f"{args.out}/{cfg_name}_solo{i}.png", nrow=8)
@@ -178,7 +263,7 @@ def main():
                   f"conf={stats['mean_max_prob']:.3f}")
 
         # the EXACT bench program: 3-expert weighted average, one DDIM scan
-        stack = experts.ExpertStack(model.apply, params_list)
+        stack = experts.ExpertStack(serve_fn, params_list)
         w = jnp.ones((3,), jnp.float32)
 
         def eps_comp(x, t):
@@ -193,18 +278,59 @@ def main():
 
         samples = composed(jax.random.fold_in(key, 40))
         allowed = tuple(sorted(c for s in SUBSETS for c in s))
-        stats = probe_stats(probe, probe_params, samples, allowed)
+        stats = probe_stats(probe, probe_params, samples, allowed, real_feats)
         report["composed"] = stats
         save_grid(samples[:64], f"{args.out}/{cfg_name}_composed.png",
                   nrow=8)
         print(f"composed: in_union={stats['in_set_frac']:.3f} "
               f"conf={stats['mean_max_prob']:.3f} "
-              f"entropy={stats['class_entropy']:.3f}")
+              f"entropy={stats['class_entropy']:.3f} "
+              f"div={stats['diversity_mean']:.3f} "
+              f"fid={stats['fid_probe']:.2f}")
+        reports[cfg_name] = report
 
-        path = f"{args.out}/quality_{cfg_name}.json"
+    # ---- self-judging verdicts (VERDICT r3 item 4) -------------------------
+    baseline = None
+    if args.baseline:
+        if args.baseline.endswith(".json"):
+            with open(args.baseline) as f:
+                baseline = json.load(f)
+        elif args.baseline in reports:
+            baseline = reports[args.baseline]
+        else:
+            print(f"FATAL: --baseline {args.baseline!r} is neither a .json "
+                  "path nor a config in --configs", file=sys.stderr)
+            sys.exit(2)
+        if "diversity_mean" not in (baseline.get("composed") or {}):
+            print("FATAL: baseline report lacks the r4 distributional stats "
+                  "(diversity/fid) — re-run the baseline config with this "
+                  "script version", file=sys.stderr)
+            sys.exit(2)
+
+    any_fail = False
+    for cfg_name, report in reports.items():
+        if baseline is not None:
+            is_baseline = report is baseline
+            verdict = judge(report, baseline, args.tol, args.div_frac,
+                            args.fid_slack)
+            if is_baseline:
+                verdict["verdict"] = "BASELINE"
+            report.update(verdict)
+            report["baseline_config"] = baseline.get("config", args.baseline)
+            if verdict["verdict"] == "FAIL":
+                any_fail = True
+            fails = [k for k, v in verdict["criteria"].items()
+                     if not v["ok"]]
+            print(f"{cfg_name}: {verdict['verdict']}"
+                  + (f"  (failed: {', '.join(fails)})" if fails else ""))
+        suffix = ("" if args.train_steps == 12000
+                  else f"_s{args.train_steps}")
+        path = f"{args.out}/quality_{cfg_name}{suffix}.json"
         with open(path, "w") as f:
             json.dump(report, f, indent=2)
         print(f"report saved to {path}")
+    if any_fail:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,31 +1,44 @@
 #!/usr/bin/env bash
-# VERDICT r2 #1: quality gate for FLOP-efficient headline-bench flagships.
+# Quality gate driver — r4: SELF-JUDGING with training budget as an axis
+# (VERDICT r3 items 2 & 4).
 #
 # The headline bench (bench.py) is defined on the WORKLOAD (MNIST 28x28,
 # 50-step DDIM, 3 composed experts), not on the reference's base-64 M1
-# architecture; the reference itself ships a base-32 UNet for MNIST-sized
-# images (src/composing_colored_mnist.py:98-136). This runs the gate
-# protocol (scripts/quality_gate_flagship.py) on the base-64 parity config
-# and each cheaper candidate at the full reference-equivalent budget, then
-# the headline bench program per candidate width. Promotion rule: a
-# candidate becomes the headline config only if its solo in-subset
-# accuracy/confidence and composed-sample stats match base-64's (the
-# committed JSONs + grids under artifacts/quality_gate/ are the evidence).
+# architecture. The r3 gate fixed every candidate at 12k steps x bs 256 —
+# conflating architecture with training budget: dit_p7_d256_l6 (23.7 GFLOP,
+# roofline 8.3k img/s) failed by 3.9 points and unet48 by 1.9 at that
+# budget. This driver re-gates the near-miss candidates at 2x and 4x budget
+# against the SAME reference-equivalent 12k-step baseline; the gate script
+# compares automatically (judge(): in-union/solo/entropy within --tol,
+# within-class diversity, FID-lite) and exits nonzero on FAIL. bench.py
+# refuses a flagship whose newest verdict is FAIL.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-STEPS="${STEPS:-12000}"
-OUT="${OUT:-outputs/quality_gate}"
-CONFIGS="${CONFIGS:-unet64,unet48,unet32,unet24,dit_p7_d256_l6}"
+OUT="${OUT:-outputs/quality_gate_r4}"
+BASE_CONFIGS="${BASE_CONFIGS:-unet64,dit_p7_d256_l8,dit_p7_d256_l6,unet48}"
+BUDGET_CONFIGS="${BUDGET_CONFIGS:-dit_p7_d256_l6,unet48}"
 
-python scripts/quality_gate_flagship.py --configs "$CONFIGS" \
-    --train_steps "$STEPS" --out "$OUT"
+echo "=== budget 12k (reference-equivalent), baseline unet64 ==="
+python scripts/quality_gate_flagship.py --configs "$BASE_CONFIGS" \
+    --train_steps 12000 --baseline unet64 --out "$OUT" || true
 
-echo "=== headline bench program per candidate width ==="
-for W in 64 48 32 24; do
-  python bench.py --base_dim "$W" --batch_sizes 256,384,512,1024 --iters 3 \
-      --skip_extras 2>"$OUT/bench_unet$W.stderr" \
-      | tee "$OUT/bench_unet$W.json" || true
+BASE_JSON="$OUT/quality_unet64.json"
+
+for STEPS in 24000 48000; do
+  echo "=== budget $STEPS, candidates only, vs 12k unet64 baseline ==="
+  python scripts/quality_gate_flagship.py --configs "$BUDGET_CONFIGS" \
+      --train_steps "$STEPS" --baseline "$BASE_JSON" --out "$OUT" || true
+done
+
+echo "=== headline bench program per PASSing candidate ==="
+for CFG in dit_p7_d256_l8 dit_p7_d256_l6; do
+  if ls "$OUT"/quality_${CFG}*.json >/dev/null 2>&1 && \
+     grep -l '"verdict": "PASS"' "$OUT"/quality_${CFG}*.json >/dev/null 2>&1; then
+    python bench.py --flagship "$CFG" --batch_sizes 512,768,1024 --iters 3 \
+        --skip_extras 2>"$OUT/bench_$CFG.stderr" \
+        | tee "$OUT/bench_$CFG.json" || true
+  fi
 done
 
 echo "quality gate runs complete; evidence in $OUT"

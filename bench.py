@@ -176,7 +176,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
                            dim: int = 512, depth: int = 4,
                            n_steps: int = 50, patch: int = 4,
                            qkv_fused: bool = False,
-                           folded: bool = False) -> float:
+                           folded: bool = False,
+                           fold_ln: bool = False) -> float:
     """DiT composer throughput on the bench workload — MNIST 28x28,
     50-step DDIM, 3 composed experts. Used twice:
 
@@ -207,7 +208,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
             model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,))))
         for i in range(3)
     ]
-    apply_fn = make_folded_apply(model) if folded else model.apply
+    apply_fn = (make_folded_apply(model, fold_ln=fold_ln) if folded
+                else model.apply)
     stack = experts.ExpertStack(apply_fn, params_list)
     schedule = VPSchedule()
     w = jnp.ones((3,), jnp.float32)
@@ -323,6 +325,13 @@ def main():
                          "ON since the bs-768 A/B (scripts/profile_dit.py): "
                          "full 50-step 3-expert sampler 1295 vs 1239 img/s. "
                          "--no-qkv_fused restores stock MHDPA.")
+    ap.add_argument("--fold_ln", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="with --folded: additionally fold the LayerNorm "
+                         "normalization into the GEMM epilogue (raw-stream "
+                         "GEMM + per-row stats correction; "
+                         "make_folded_apply(fold_ln=True)). Default off "
+                         "pending the profile_dit A/B.")
     ap.add_argument("--folded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="DiT flagships: serve with models.dit."
@@ -362,13 +371,16 @@ def main():
     # opaque timeout. The probe runs in a killable subprocess
     # (__graft_entry__._safe_device_count) with bounded retries for
     # transient tunnel degradation.
-    from __graft_entry__ import _safe_device_count
+    from __graft_entry__ import _safe_compute_probe, _safe_device_count
     for attempt in range(3):
+        # two-stage probe: device enumeration AND an actual tiny program —
+        # a degraded tunnel passes the first while hanging every dispatch
         n_dev = _safe_device_count(timeout_s=60.0)
-        if n_dev:
+        if n_dev and _safe_compute_probe():
             break
-        print(f"# device probe {attempt + 1}/3 failed (backend init hung or "
-              "raised); retrying in 20 s", file=sys.stderr)
+        print(f"# device/compute probe {attempt + 1}/3 failed (backend "
+              "init hung, raised, or dispatch stalled); retrying in 20 s",
+              file=sys.stderr)
         time.sleep(20)
     else:
         print("FATAL: no usable accelerator backend after 3 probes — the "
@@ -395,7 +407,8 @@ def main():
                 ips = measure_dit_throughput(
                     batch_size=bs, iters=args.iters, dim=spec["d"],
                     depth=spec["l"], patch=spec["p"],
-                    qkv_fused=args.qkv_fused, folded=args.folded)
+                    qkv_fused=args.qkv_fused, folded=args.folded,
+                    fold_ln=args.fold_ln)
                 t = bs / ips
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
@@ -435,6 +448,7 @@ def main():
                   # (unfolded, MHDPA) so the r2 number stays trackable
                   "qkv_fused": bool(args.qkv_fused),
                   "folded": bool(args.folded),
+                  "fold_ln": bool(args.fold_ln),
                   "batch_size": best_bs,
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "unet64_parity_images_per_sec": round(unet_parity_ips, 1),

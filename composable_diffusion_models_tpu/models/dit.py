@@ -269,10 +269,25 @@ def _batch1(name: str, arr: Array) -> Array:
     return arr
 
 
-def make_folded_apply(model: DiT):
+def make_folded_apply(model: DiT, fold_ln: bool = False):
     """Build ``apply(params, x, t, *labels)`` computing ``model.apply`` with
     per-step adaLN folding (see module comment above). Drop-in for
-    ``ExpertStack``/samplers; requires t (and every label) batch-size 1."""
+    ``ExpertStack``/samplers; requires t (and every label) batch-size 1.
+
+    ``fold_ln=True`` additionally folds the LayerNorm NORMALIZATION into the
+    GEMM epilogue: with per-row stats (mu, sigma) and the per-step constant
+    column-sum vector s = 1^T W',
+
+        LN(x) @ W' + b'  ==  (x @ W' - mu * s) / sigma + b'
+
+    so the GEMM reads the RAW residual stream (no separate normalize
+    write+read of the (B, N, D) activation — 2 sites x depth blocks) and
+    the whole correction is an elementwise epilogue XLA fuses into the
+    GEMM output. Stats stay fp32; the epilogue subtracts in fp32 (the
+    cancellation x ~ mu*1 + small is the numerically delicate spot; bf16
+    subtraction there would lose the signal). Exact in real arithmetic;
+    bf16 rounding sites move — parity + quality pinned by TestFoldedDiT
+    and the quality gate."""
 
     def apply(params: Any, x: Array, t: Array, *labels: Array) -> Array:
         p = params["params"]
@@ -312,6 +327,23 @@ def make_folded_apply(model: DiT):
         tok = (xp @ w_pat.astype(cdt) + p["patchify"]["bias"].astype(cdt)
                + p["pos_emb"].astype(cdt))
 
+        def ln_gemm(h, w_f, b_f):
+            """LN(h) @ w_f + b_f — normalize materialized, or folded into
+            the GEMM epilogue (fold_ln; see factory docstring)."""
+            if not fold_ln:
+                return _ln_nostats_fp32(h) @ w_f + b_f
+            hf = h.astype(jnp.float32)
+            mu = hf.mean(axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, (hf * hf).mean(axis=-1, keepdims=True)
+                              - mu * mu)
+            inv = jax.lax.rsqrt(var + 1e-6)
+            # GEMM on the RAW residual stream, fp32 accumulate (MXU native)
+            g = jnp.einsum("bnd,de->bne", h, w_f,
+                           preferred_element_type=jnp.float32)
+            s = jnp.sum(w_f.astype(jnp.float32), axis=0)  # per-step const
+            y = (g - mu * s) * inv
+            return y.astype(h.dtype) + b_f
+
         n_heads = model.n_heads
         hd = d // n_heads
         for i in range(model.depth):
@@ -324,9 +356,8 @@ def make_folded_apply(model: DiT):
             w_qkv, b_qkv, w_pr, b_pr = _attn_kernels(bp, d)
             w_qkv, b_qkv = w_qkv.astype(cdt), b_qkv.astype(cdt)
             w_pr, b_pr = w_pr.astype(cdt), b_pr.astype(cdt)
-            qkv = (_ln_nostats_fp32(tok)
-                   @ (w_qkv * (1.0 + sa_scale)[:, None])
-                   + (b_qkv + sa_shift @ w_qkv))
+            qkv = ln_gemm(tok, w_qkv * (1.0 + sa_scale)[:, None],
+                          b_qkv + sa_shift @ w_qkv)
             qkv = qkv.reshape(b, n_tok, 3, n_heads, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
@@ -341,8 +372,8 @@ def make_folded_apply(model: DiT):
             b1 = bp["Dense_1"]["bias"].astype(cdt)
             w2 = bp["Dense_2"]["kernel"].astype(cdt)
             b2 = bp["Dense_2"]["bias"].astype(cdt)
-            h = nn.gelu(_ln_nostats_fp32(tok)
-                        @ (w1 * (1.0 + m_scale)[:, None]) + (b1 + m_shift @ w1))
+            h = nn.gelu(ln_gemm(tok, w1 * (1.0 + m_scale)[:, None],
+                                b1 + m_shift @ w1))
             tok = tok + (h @ (w2 * m_gate[None, :]) + b2 * m_gate)
 
         # final adaLN folded into the fp32 unpatchify head

@@ -134,10 +134,13 @@ def require_accelerator(retries: int = 3, timeout_s: float = 60.0) -> None:
     in a killable subprocess with bounded retries before any device work."""
     import time as _time
 
-    from __graft_entry__ import _safe_device_count
+    from __graft_entry__ import _safe_compute_probe, _safe_device_count
 
     for attempt in range(retries):
-        if _safe_device_count(timeout_s=timeout_s):
+        # device enumeration AND a real dispatch (a degraded tunnel passes
+        # the former while hanging the latter forever — observed r4)
+        if (_safe_device_count(timeout_s=timeout_s)
+                and _safe_compute_probe()):
             return
         print(f"# device probe {attempt + 1}/{retries} failed; retrying "
               "in 20 s", file=sys.stderr)

@@ -80,6 +80,10 @@ def main():
         # patchify as GEMM (same param tree as fused-qkv)
         "FOLDED": (lambda xx, f=make_folded_apply(variants[True][0]):
                    f(variants[True][1], xx, t)),
+        # + LN normalization folded into the GEMM epilogue (raw-stream GEMM)
+        "FOLD_LN": (lambda xx, f=make_folded_apply(variants[True][0],
+                                                   fold_ln=True):
+                    f(variants[True][1], xx, t)),
     }
     for rep in range(2):  # interleave all variants per round
         for tag, fn in fwd_fns.items():
@@ -192,6 +196,10 @@ def main():
             fused_model, make_folded_apply(fused_model), 5),
         ("folded", "vmap"): build_sampler(
             fused_model, make_folded_apply(fused_model), 1),
+        ("foldln", "unroll"): build_sampler(
+            fused_model, make_folded_apply(fused_model, fold_ln=True), 5),
+        ("foldln", "vmap"): build_sampler(
+            fused_model, make_folded_apply(fused_model, fold_ln=True), 1),
     }
     for tag, sample in samplers_by_tag.items():  # compile+warm all first
         float(sample(key))

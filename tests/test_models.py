@@ -537,3 +537,25 @@ class TestFoldedDiT:
             jax.random.normal(k, (4, 28, 28, 1)), 8))(key)
         assert out.shape == (4, 28, 28, 1)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+    @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+    def test_fold_ln_parity(self, key, dtype):
+        """fold_ln (LN normalization as GEMM epilogue) matches the
+        materialized-LN folded path and stock apply in fp32; under bf16 the
+        raw-stream GEMM accumulates fp32 (preferred_element_type) and stays
+        within bf16 tolerance of stock."""
+        from composable_diffusion_models_tpu.models import (DiT,
+                                                            make_folded_apply)
+        model = DiT(patch=7, dim=64, depth=2, n_heads=4, in_channels=1,
+                    qkv_fused=True, dtype=dtype)
+        x = jax.random.normal(key, (3, 28, 28, 1))
+        params = self._randomized(key, model, x)
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype), params)
+        t = jnp.full((1,), 0.37)
+        ref = model.apply(params, x, t)
+        out = make_folded_apply(model, fold_ln=True)(params, x, t)
+        denom = float(jnp.abs(ref).max()) + 1e-6
+        rel = float(jnp.abs(out - ref).max()) / denom
+        assert rel < (0.05 if dtype is not None else 2e-5), rel

@@ -229,16 +229,37 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
 
 def measure_shapes_throughput(iters: int = 3, bs: int = 128,
                               base_dim: int = 64, img_size: int = 64,
-                              n_steps: int = 50) -> float:
+                              n_steps: int = 50,
+                              model_cfg: str = "unet64") -> float:
     """Secondary benchmark (reported in "extra"): the compose_images_ddim
     workload — RGB conditional 2-expert DDIM composition. Defaults define
-    the recorded metric (64x64, 50 steps, base 64); the shape parameters
-    exist for CPU smoke tests only, and img_size must be divisible by 4
-    (channel_mults=(1,2,4) downsamples twice)."""
-    assert img_size % 4 == 0, "channel_mults=(1,2,4) needs img_size % 4 == 0"
+    the recorded metric (64x64, 50 steps, base-64 UNet — measured at its
+    architectural ceiling ~217 img/s, DESIGN.md §3.2). ``model_cfg``
+    "dit_p<P>_d<D>_l<L>" serves the same workload with a 64x64 DiT through
+    the folded path (quality gate: scripts/quality_gate_shapes.py —
+    VERDICT r3 item 6). The shape parameters exist for CPU smoke tests
+    only; UNet img_size must be divisible by 4 (two downsamples)."""
     key = jax.random.PRNGKey(0)
-    model = UNet(in_channels=3, base_dim=base_dim, channel_mults=(1, 2, 4),
-                 num_classes=(3,), dtype=jnp.bfloat16)
+    if model_cfg.startswith("unet"):
+        assert img_size % 4 == 0, \
+            "channel_mults=(1,2,4) needs img_size % 4 == 0"
+        base_dim = int(model_cfg[4:]) if model_cfg[4:] else base_dim
+        model = UNet(in_channels=3, base_dim=base_dim,
+                     channel_mults=(1, 2, 4), num_classes=(3,),
+                     dtype=jnp.bfloat16)
+        apply_fn = model.apply
+        # (K, B) labels: the historical bench layout
+        labels = experts.per_expert(jnp.zeros((2, bs), jnp.int32))
+    else:
+        from composable_diffusion_models_tpu.models import (DiT,
+                                                            make_folded_apply)
+        spec = {p[0]: int(p[1:]) for p in model_cfg[4:].split("_")}
+        model = DiT(patch=spec["p"], dim=spec["d"], depth=spec["l"],
+                    n_heads=8, in_channels=3, num_classes=(3,),
+                    dtype=jnp.bfloat16)
+        apply_fn = make_folded_apply(model)
+        # batch-constant cell labels, batch-1 (folded-path contract)
+        labels = experts.per_expert(jnp.zeros((2, 1), jnp.int32))
     x0 = jnp.zeros((1, img_size, img_size, 3))
     lab = jnp.zeros((1,), jnp.int32)
     params_list = [
@@ -247,11 +268,10 @@ def measure_shapes_throughput(iters: int = 3, bs: int = 128,
             model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,)), lab))
         for i in range(2)
     ]
-    stack = experts.ExpertStack(model.apply, params_list)
+    stack = experts.ExpertStack(apply_fn, params_list)
     schedule = VPSchedule()
     w = jnp.ones((2,), jnp.float32)
     # default bs=128: measured sweet spot (64: 161, 128: 205, 192: 181 img/s)
-    labels = experts.per_expert(jnp.zeros((2, bs), jnp.int32))
 
     def eps_fn(x, t):
         eps = stack(x.astype(jnp.bfloat16), t.astype(jnp.bfloat16), labels)
@@ -341,6 +361,14 @@ def main():
                          "and math as DiT.apply (TestFoldedDiT parity), so "
                          "the quality-gate verdict carries over. A/B vs "
                          "stock in scripts/profile_dit.py.")
+    ap.add_argument("--shapes_flagship", default="unet64",
+                    help="model serving the shapes-64 secondary row: "
+                         "unet64 (reference parity, measured ceiling ~217 "
+                         "img/s) or dit_p<P>_d<D>_l<L> through the folded "
+                         "path — must PASS scripts/quality_gate_shapes.py "
+                         "(VERDICT r3 item 6); reported as "
+                         "extra.shapes64_flagship_images_per_sec alongside "
+                         "the always-measured unet64 parity row")
     ap.add_argument("--force", action="store_true",
                     help="measure a flagship whose newest committed quality "
                          "gate verdict is FAIL (headline numbers must come "
@@ -419,11 +447,22 @@ def main():
             best_ips, best_bs, best_t = ips, bs, t
 
     steps_per_sec = 50.0 / best_t if best_t else 0.0
+    shapes_flag_ips = 0.0
     if args.skip_extras:
         train_ips = shapes_ips = dit_ips = unet_parity_ips = 0.0
     else:
         train_ips = measure_train_throughput(args.base_dim)
         shapes_ips = measure_shapes_throughput()
+        if args.shapes_flagship != "unet64":
+            sv, sp = gate_verdict(f"shapes_{args.shapes_flagship}")
+            if sv == "PASS" or args.force:
+                shapes_flag_ips = measure_shapes_throughput(
+                    model_cfg=args.shapes_flagship)
+            else:
+                print(f"# shapes flagship {args.shapes_flagship!r} has no "
+                      f"PASS gate verdict (found: {sv}) — skipping "
+                      "(quality_gate_shapes.py gates it; --force overrides)",
+                      file=sys.stderr)
         dit_ips = measure_dit_throughput()
         # reference-architecture parity row (the r1/r2 headline): base-64
         # M1 UNet at its measured-best batch, so the old number stays
@@ -454,6 +493,9 @@ def main():
                   "unet64_parity_images_per_sec": round(unet_parity_ips, 1),
                   "train_images_per_sec": round(train_ips, 1),
                   "shapes64_images_per_sec": round(shapes_ips, 1),
+                  "shapes64_flagship": args.shapes_flagship,
+                  "shapes64_flagship_images_per_sec": round(
+                      shapes_flag_ips, 1),
                   "dit_eval_flagship_images_per_sec": round(dit_ips, 1),
                   "dit_eval_flagship_mfu": round(
                       dit_tflops / CHIP_PEAK_TFLOPS, 3),

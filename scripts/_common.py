@@ -141,6 +141,9 @@ def require_accelerator(retries: int = 3, timeout_s: float = 60.0) -> None:
         # the former while hanging the latter forever — observed r4)
         if (_safe_device_count(timeout_s=timeout_s)
                 and _safe_compute_probe()):
+            # probes can pass and the NEXT in-process dispatch still hang
+            # (observed r4) — arm the stall watchdog for the job itself
+            start_stall_watchdog()
             return
         print(f"# device probe {attempt + 1}/{retries} failed; retrying "
               "in 20 s", file=sys.stderr)
@@ -149,3 +152,42 @@ def require_accelerator(retries: int = 3, timeout_s: float = 60.0) -> None:
           "(environmental). Re-run when it recovers, or pass --cpu.",
           file=sys.stderr)
     sys.exit(3)
+
+
+def start_stall_watchdog(idle_limit_s: float = 600.0,
+                         check_every_s: float = 60.0,
+                         min_cpu_delta_s: float = 1.0) -> None:
+    """Kill this process (exit 42) when it stops making progress.
+
+    The degraded tunnel's failure mode is an INDEFINITE block inside a C
+    dispatch call — not an exception — so no in-thread handling can
+    recover; the process sits at zero CPU forever and a wall-clock timeout
+    wastes the whole budget. A daemon thread samples the process CPU time
+    (os.times): a healthy measurement job accrues host CPU continuously
+    (dispatch, compile, data prep; even device-bound phases wake between
+    scan chunks), a hung one accrues none. If CPU advances less than
+    ``min_cpu_delta_s`` over ``idle_limit_s``, os._exit(42) — which works
+    even while the main thread is stuck in native code — and the
+    tpu_retry.sh wrapper relaunches."""
+    import threading
+
+    def run():
+        import time as _t
+        last = sum(os.times()[:2])
+        idle = 0.0
+        while True:
+            _t.sleep(check_every_s)
+            cur = sum(os.times()[:2])
+            if cur - last < min_cpu_delta_s:
+                idle += check_every_s
+                if idle >= idle_limit_s:
+                    print(f"[stall-watchdog] no CPU progress for "
+                          f"{idle:.0f}s — device dispatch presumed hung; "
+                          "exiting 42 for the retry wrapper", flush=True)
+                    os._exit(42)
+            else:
+                idle = 0.0
+            last = cur
+
+    threading.Thread(target=run, daemon=True,
+                     name="stall-watchdog").start()

@@ -32,7 +32,8 @@ import json
 import jax
 import jax.numpy as jnp
 
-from _common import add_runtime_flags, apply_runtime_flags
+from _common import (add_runtime_flags, apply_runtime_flags,
+                     require_accelerator)
 
 from composable_diffusion_models_tpu import compose, data, eval as ceval
 from composable_diffusion_models_tpu import samplers, train
@@ -161,6 +162,8 @@ def main():
     add_runtime_flags(ap)
     args, overrides = ap.parse_known_args()
     apply_runtime_flags(args)
+    if not args.cpu:
+        require_accelerator()
 
     cfg = get_config(args.preset, overrides)
     if args.sanity:

@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import add_runtime_flags, apply_runtime_flags  # noqa: E402
+from _common import (add_runtime_flags, apply_runtime_flags,
+                     require_accelerator)  # noqa: E402
 from quality_gate_flagship import judge  # noqa: E402
 
 from composable_diffusion_models_tpu import (  # noqa: E402
@@ -96,6 +97,8 @@ def main():
     add_runtime_flags(ap)
     args, _ = ap.parse_known_args()
     apply_runtime_flags(args)
+    if not args.cpu:
+        require_accelerator()
 
     if args.sanity:
         args.train_steps, args.probe_steps = 40, 200

@@ -417,6 +417,16 @@ def main():
               file=sys.stderr)
         sys.exit(3)
 
+    # the probes can pass and the next in-process dispatch still hang
+    # (observed r4: the tunnel blocks INSIDE a C call, zero CPU, no
+    # exception) — arm the stall watchdog so the bench dies legibly with
+    # exit 42 instead of hanging the driver
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), "scripts"))
+    from _common import start_stall_watchdog
+    start_stall_watchdog()
+
     unet_flagship = args.flagship.startswith("unet")
     if unet_flagship:
         args.base_dim = int(args.flagship[4:])

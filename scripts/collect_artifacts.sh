@@ -12,4 +12,11 @@ for d in outputs/*/run_0/results outputs/*/*/run_0/results; do
   find "$d" -maxdepth 1 \( -name '*.png' -o -name '*.json' \) \
     -exec cp {} "artifacts/$preset/" \;
 done
+# flat evidence dirs (gate JSONs/grids land directly under outputs/<name>/)
+for name in quality_gate_r4 quality_gate_shapes_r4 superdiff_or_temp; do
+  [ -d "outputs/$name" ] || continue
+  mkdir -p "artifacts/$name"
+  find "outputs/$name" -maxdepth 1 \( -name '*.png' -o -name '*.json' \) \
+    -exec cp {} "artifacts/$name/" \;
+done
 echo "collected: $(find artifacts -type f | wc -l) files"

@@ -177,7 +177,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
                            n_steps: int = 50, patch: int = 4,
                            qkv_fused: bool = False,
                            folded: bool = False,
-                           fold_ln: bool = False) -> float:
+                           fold_ln: bool = False,
+                           pallas_attn: bool | None = None) -> float:
     """DiT composer throughput on the bench workload — MNIST 28x28,
     50-step DDIM, 3 composed experts. Used twice:
 
@@ -208,7 +209,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
             model.init(jax.random.fold_in(key, i), x0, jnp.ones((1,))))
         for i in range(3)
     ]
-    apply_fn = (make_folded_apply(model, fold_ln=fold_ln) if folded
+    apply_fn = (make_folded_apply(model, fold_ln=fold_ln,
+                                  pallas_attn=pallas_attn) if folded
                 else model.apply)
     stack = experts.ExpertStack(apply_fn, params_list)
     schedule = VPSchedule()
@@ -352,6 +354,14 @@ def main():
                          "GEMM + per-row stats correction; "
                          "make_folded_apply(fold_ln=True)). Default off "
                          "pending the profile_dit A/B.")
+    ap.add_argument("--pallas_attn", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="with --folded: fused scores/softmax/value Pallas "
+                         "kernel (ops.short_seq_attention) instead of the "
+                         "einsum chain. Default None = auto (on for TPU). "
+                         "Same attention math (interpret-mode parity in "
+                         "test_pallas_kernels.py); scores stay fp32 where "
+                         "the einsum path rounds them to bf16.")
     ap.add_argument("--folded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="DiT flagships: serve with models.dit."
@@ -446,7 +456,7 @@ def main():
                     batch_size=bs, iters=args.iters, dim=spec["d"],
                     depth=spec["l"], patch=spec["p"],
                     qkv_fused=args.qkv_fused, folded=args.folded,
-                    fold_ln=args.fold_ln)
+                    fold_ln=args.fold_ln, pallas_attn=args.pallas_attn)
                 t = bs / ips
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
@@ -498,6 +508,7 @@ def main():
                   "qkv_fused": bool(args.qkv_fused),
                   "folded": bool(args.folded),
                   "fold_ln": bool(args.fold_ln),
+                  "pallas_attn": args.pallas_attn,
                   "batch_size": best_bs,
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "unet64_parity_images_per_sec": round(unet_parity_ips, 1),

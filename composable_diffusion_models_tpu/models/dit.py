@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .embeddings import TimeEmbedding, sinusoidal_embedding
+from ..ops.pallas_kernels import short_seq_attention
 
 Array = jax.Array
 
@@ -58,6 +59,7 @@ class FusedQKVAttention(nn.Module):
 
     dim: int
     n_heads: int
+    pallas_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -65,15 +67,20 @@ class FusedQKVAttention(nn.Module):
         b, n_tok, _ = h.shape
         hd = self.dim // self.n_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(b, n_tok, 3, self.n_heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(hd, h.dtype))
-        # fp32 softmax stats (numerics policy), bf16 value matmul
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(h.dtype), v)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
-            out.reshape(b, n_tok, self.dim))
+        if self.pallas_attn:
+            # fused scores+softmax+value kernel: one VMEM pass, images
+            # packed to MXU-aligned row blocks (ops/pallas_kernels.py)
+            out = short_seq_attention(qkv, self.n_heads)
+        else:
+            qkv = qkv.reshape(b, n_tok, 3, self.n_heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(hd, h.dtype))
+            # fp32 softmax stats (numerics policy), bf16 value matmul
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(h.dtype),
+                             v).reshape(b, n_tok, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class DiTBlock(nn.Module):
@@ -83,6 +90,7 @@ class DiTBlock(nn.Module):
     n_heads: int
     mlp_ratio: int = 4
     qkv_fused: bool = False
+    pallas_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -101,6 +109,7 @@ class DiTBlock(nn.Module):
         h = _modulate(h, sa_shift, sa_scale)
         if self.qkv_fused:
             h = FusedQKVAttention(self.dim, self.n_heads,
+                                  pallas_attn=self.pallas_attn,
                                   dtype=self.dtype)(h)
         else:
             h = nn.MultiHeadDotProductAttention(
@@ -140,6 +149,7 @@ class DiT(nn.Module):
     num_classes: Sequence[int] = ()
     null_token: bool = False
     qkv_fused: bool = False
+    pallas_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -179,6 +189,7 @@ class DiT(nn.Module):
         for i in range(self.depth):
             tok = DiTBlock(self.dim, self.n_heads, dtype=self.dtype,
                            qkv_fused=self.qkv_fused,
+                           pallas_attn=self.pallas_attn,
                            name=f"block_{i}")(tok, c)
 
         # final adaLN + zero-init projection (fp32 output head, repo policy)
@@ -269,7 +280,8 @@ def _batch1(name: str, arr: Array) -> Array:
     return arr
 
 
-def make_folded_apply(model: DiT, fold_ln: bool = False):
+def make_folded_apply(model: DiT, fold_ln: bool = False,
+                      pallas_attn: bool | None = None):
     """Build ``apply(params, x, t, *labels)`` computing ``model.apply`` with
     per-step adaLN folding (see module comment above). Drop-in for
     ``ExpertStack``/samplers; requires t (and every label) batch-size 1.
@@ -287,7 +299,12 @@ def make_folded_apply(model: DiT, fold_ln: bool = False):
     cancellation x ~ mu*1 + small is the numerically delicate spot; bf16
     subtraction there would lose the signal). Exact in real arithmetic;
     bf16 rounding sites move — parity + quality pinned by TestFoldedDiT
-    and the quality gate."""
+    and the quality gate.
+
+    ``pallas_attn`` routes the scores+softmax+value chain through the fused
+    ``ops.short_seq_attention`` kernel (None = auto: Pallas on TPU, einsum
+    fallback elsewhere; a bool forces one path). Same attention math; fp32
+    scores where the einsum path rounds them to bf16."""
 
     def apply(params: Any, x: Array, t: Array, *labels: Array) -> Array:
         p = params["params"]
@@ -345,7 +362,6 @@ def make_folded_apply(model: DiT, fold_ln: bool = False):
             return y.astype(h.dtype) + b_f
 
         n_heads = model.n_heads
-        hd = d // n_heads
         for i in range(model.depth):
             bp = p[f"block_{i}"]
             mod = dense(sc, bp["Dense_0"])[0]  # (6D,) per-step constants
@@ -358,14 +374,8 @@ def make_folded_apply(model: DiT, fold_ln: bool = False):
             w_pr, b_pr = w_pr.astype(cdt), b_pr.astype(cdt)
             qkv = ln_gemm(tok, w_qkv * (1.0 + sa_scale)[:, None],
                           b_qkv + sa_shift @ w_qkv)
-            qkv = qkv.reshape(b, n_tok, 3, n_heads, hd)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(hd, cdt))
-            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-            o = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdt), v)
-            tok = tok + (o.reshape(b, n_tok, d)
-                         @ (w_pr * sa_gate[None, :]) + b_pr * sa_gate)
+            o = short_seq_attention(qkv, n_heads, use_pallas=pallas_attn)
+            tok = tok + (o @ (w_pr * sa_gate[None, :]) + b_pr * sa_gate)
 
             # --- MLP, same folds ---
             w1 = bp["Dense_1"]["kernel"].astype(cdt)

@@ -259,3 +259,96 @@ def matmul(a: Array, b: Array, tile_m: int = 256, tile_n: int = 256,
         out_shape=jax.ShapeDtypeStruct((mp, np_), a.dtype),
     )(a_p, b_p)
     return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# fused short-sequence attention (the DiT flagship's measured limiter)
+# ---------------------------------------------------------------------------
+def _pick_batch_tile(b: int, t: int, target_rows: int = 128) -> int:
+    """Largest per-program batch tile bb with bb*t <= target_rows and
+    bb | b — packs several images' tokens into one MXU-aligned row block."""
+    bb = max(1, target_rows // t)
+    while b % bb:
+        bb -= 1
+    return bb
+
+
+def _short_attn_kernel(qkv_ref, out_ref, *, n_heads: int, t: int,
+                       scale: float):
+    """Whole attention (scores + softmax + value matmul) for one batch tile,
+    entirely in VMEM.
+
+    The per-image score matmuls at short T are hopeless MXU shapes (T x hd x
+    T = 16x32x16 at the flagship: 1.5% of a 128x128 tile) and XLA runs the
+    einsum -> softmax -> einsum chain through HBM with a relayout around
+    every per-head reshape — measured 0.51 ms/block vs the 0.05 ms its GEMM
+    FLOPs cost at the chip's sustained rate (DESIGN.md §3.1). This kernel
+    packs bb = 128//T images into ONE (bb*T, hd) row block per head, so the
+    score matmul is a single 128-row MXU dot; cross-image products are
+    discarded by a block-diagonal -1e30 mask folded into the softmax (the
+    8x FLOP overspend is ~0.4% of the forward's budget). No HBM traffic
+    between the three attention stages; fp32 scores/softmax (repo numerics
+    policy — strictly more precise than the XLA path's bf16 score
+    rounding)."""
+    bb = qkv_ref.shape[0]
+    rows = bb * t
+    d3 = qkv_ref.shape[2]
+    d = d3 // 3
+    hd = d // n_heads
+    qkv = qkv_ref[:].reshape(rows, d3)
+    if bb > 1:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // t
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // t
+        neg = jnp.where(ri == ci, 0.0, -1e30).astype(jnp.float32)
+    else:
+        neg = jnp.zeros((rows, rows), jnp.float32)
+    outs = []
+    for h in range(n_heads):                    # static unroll over heads
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s * scale + neg, axis=-1)
+        o = jnp.dot(a.astype(qkv.dtype), v,
+                    preferred_element_type=jnp.float32)
+        outs.append(o.astype(out_ref.dtype))
+    out_ref[:] = jnp.concatenate(outs, axis=1).reshape(bb, t, d)
+
+
+def short_seq_attention(qkv: Array, n_heads: int,
+                        use_pallas: bool | None = None) -> Array:
+    """Multi-head self-attention from a packed (B, T, 3*D) QKV tensor
+    (layout [q|k|v] x [head] x [head_dim], i.e. the FusedQKVAttention qkv
+    Dense output) -> (B, T, D). Math of models.dit.FusedQKVAttention's
+    einsum core: scale 1/sqrt(hd), no bias, softmax over keys.
+
+    ``use_pallas=None`` resolves to True on TPU (measured faster at the
+    flagship's 16-token shapes), False elsewhere; the XLA fallback is the
+    einsum chain itself."""
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // n_heads
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not use_pallas:
+        q, k, v = (qkv.reshape(b, t, 3, n_heads, hd)[:, :, i]
+                   for i in range(3))
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, qkv.dtype))
+        a = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a.astype(qkv.dtype), v)
+        return o.reshape(b, t, d)
+
+    bb = _pick_batch_tile(b, t)
+    kernel = functools.partial(_short_attn_kernel, n_heads=n_heads, t=t,
+                               scale=1.0 / float(hd) ** 0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[pl.BlockSpec((bb, t, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
+    )(qkv)

@@ -78,12 +78,19 @@ def main():
             variants[True][1], xx, t)),
         # r4 serving path: adaLN folded into per-step GEMM weights,
         # patchify as GEMM (same param tree as fused-qkv)
-        "FOLDED": (lambda xx, f=make_folded_apply(variants[True][0]):
+        "FOLDED": (lambda xx, f=make_folded_apply(variants[True][0],
+                                                  pallas_attn=False):
                    f(variants[True][1], xx, t)),
         # + LN normalization folded into the GEMM epilogue (raw-stream GEMM)
         "FOLD_LN": (lambda xx, f=make_folded_apply(variants[True][0],
-                                                   fold_ln=True):
+                                                   fold_ln=True,
+                                                   pallas_attn=False):
                     f(variants[True][1], xx, t)),
+        # + fused scores/softmax/value Pallas kernel (the measured limiter:
+        # attention internals ran 0.51 ms/block vs 0.05 ms GEMM-cost, r4)
+        "PALLAS_ATTN": (lambda xx, f=make_folded_apply(variants[True][0],
+                                                       pallas_attn=True):
+                        f(variants[True][1], xx, t)),
     }
     for rep in range(2):  # interleave all variants per round
         for tag, fn in fwd_fns.items():
@@ -193,13 +200,19 @@ def main():
         ("stock", "unroll"): build_sampler(stock_model, stock_model.apply, 5),
         ("fused", "unroll"): build_sampler(fused_model, fused_model.apply, 5),
         ("folded", "unroll"): build_sampler(
-            fused_model, make_folded_apply(fused_model), 5),
-        ("folded", "vmap"): build_sampler(
-            fused_model, make_folded_apply(fused_model), 1),
+            fused_model, make_folded_apply(fused_model, pallas_attn=False),
+            5),
         ("foldln", "unroll"): build_sampler(
-            fused_model, make_folded_apply(fused_model, fold_ln=True), 5),
-        ("foldln", "vmap"): build_sampler(
-            fused_model, make_folded_apply(fused_model, fold_ln=True), 1),
+            fused_model,
+            make_folded_apply(fused_model, fold_ln=True, pallas_attn=False),
+            5),
+        ("pallas", "unroll"): build_sampler(
+            fused_model, make_folded_apply(fused_model, pallas_attn=True),
+            5),
+        ("pallasln", "unroll"): build_sampler(
+            fused_model,
+            make_folded_apply(fused_model, fold_ln=True, pallas_attn=True),
+            5),
     }
     for tag, sample in samplers_by_tag.items():  # compile+warm all first
         float(sample(key))

@@ -87,3 +87,46 @@ def test_split_conv_matches_concat_conv(key):
     ref = nn.Conv(6, (3, 3), padding="SAME").apply(p, jnp.concatenate([a, b], -1))
     got = sc.apply(p, (a, b))
     assert jnp.allclose(ref, got, atol=1e-5), float(jnp.abs(ref - got).max())
+
+@pytest.mark.parametrize("b,t,d,h", [(8, 16, 64, 2),   # flagship-like 16-tok
+                                     (6, 16, 32, 4),   # bb won't divide 128
+                                     (4, 49, 32, 2),   # 49-token p4 layout
+                                     (3, 8, 16, 1)])   # single head
+def test_short_seq_attention_matches_fallback(key, b, t, d, h):
+    qkv = jax.random.normal(key, (b, t, 3 * d), jnp.float32)
+    ref = pk.short_seq_attention(qkv, h, use_pallas=False)
+    out = pk.short_seq_attention(qkv, h, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_short_seq_attention_matches_mhdpa(key):
+    """Against stock flax attention with transplanted params — pins the
+    packed-QKV layout interpretation ([q|k|v] x [head] x [head_dim])."""
+    import flax.linen as nn
+    b, t, d, h = 4, 16, 64, 4
+    x = jax.random.normal(key, (b, t, d))
+    mh = nn.MultiHeadDotProductAttention(num_heads=h)
+    p = mh.init(key, x, x)["params"]
+    ref = mh.apply({"params": p}, x, x)
+    w_qkv = jnp.concatenate(
+        [p[k]["kernel"].reshape(d, -1) for k in ("query", "key", "value")], 1)
+    b_qkv = jnp.concatenate(
+        [p[k]["bias"].reshape(-1) for k in ("query", "key", "value")])
+    o = pk.short_seq_attention(x @ w_qkv + b_qkv, h, use_pallas=True)
+    got = o @ p["out"]["kernel"].reshape(d, d) + p["out"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_short_seq_attention_no_cross_image_leakage(key):
+    """The packed block-diagonal mask must make image i's output depend on
+    image i's tokens only: perturbing image 0 leaves images 1.. unchanged."""
+    b, t, d, h = 8, 16, 32, 2
+    qkv = jax.random.normal(key, (b, t, 3 * d), jnp.float32)
+    out = pk.short_seq_attention(qkv, h, use_pallas=True)
+    qkv2 = qkv.at[0].mul(-3.0)
+    out2 = pk.short_seq_attention(qkv2, h, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out2[1:]), np.asarray(out[1:]),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(out2[0] - out[0]).max()) > 1e-3

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .embeddings import TimeEmbedding, sinusoidal_embedding
-from ..ops.pallas_kernels import short_seq_attention
+from ..ops.pallas_kernels import fused_dit_block, short_seq_attention
 
 Array = jax.Array
 
@@ -281,7 +281,8 @@ def _batch1(name: str, arr: Array) -> Array:
 
 
 def make_folded_apply(model: DiT, fold_ln: bool = False,
-                      pallas_attn: bool | None = None):
+                      pallas_attn: bool | None = None,
+                      fused_block: bool | None = None):
     """Build ``apply(params, x, t, *labels)`` computing ``model.apply`` with
     per-step adaLN folding (see module comment above). Drop-in for
     ``ExpertStack``/samplers; requires t (and every label) batch-size 1.
@@ -304,7 +305,13 @@ def make_folded_apply(model: DiT, fold_ln: bool = False,
     ``pallas_attn`` routes the scores+softmax+value chain through the fused
     ``ops.short_seq_attention`` kernel (None = auto: Pallas on TPU, einsum
     fallback elsewhere; a bool forces one path). Same attention math; fp32
-    scores where the einsum path rounds them to bf16."""
+    scores where the einsum path rounds them to bf16.
+
+    ``fused_block`` (None = auto: on for TPU; ignored with ``fold_ln``)
+    runs each whole block — LN, QKV GEMM, attention, proj+residual, LN,
+    MLP+residual — as ONE Pallas kernel over the pre-folded weights
+    (``ops.fused_dit_block``): the residual stream is read/written once per
+    block and every intermediate stays in VMEM. Subsumes ``pallas_attn``."""
 
     def apply(params: Any, x: Array, t: Array, *labels: Array) -> Array:
         p = params["params"]
@@ -368,23 +375,33 @@ def make_folded_apply(model: DiT, fold_ln: bool = False,
             (sa_shift, sa_scale, sa_gate,
              m_shift, m_scale, m_gate) = jnp.split(mod, 6)
 
-            # --- attention, modulation folded into qkv / gate into proj ---
+            # per-step folded weights: modulation into the input GEMMs,
+            # gates into the output GEMMs (O(D^2)/step — module comment)
             w_qkv, b_qkv, w_pr, b_pr = _attn_kernels(bp, d)
             w_qkv, b_qkv = w_qkv.astype(cdt), b_qkv.astype(cdt)
             w_pr, b_pr = w_pr.astype(cdt), b_pr.astype(cdt)
-            qkv = ln_gemm(tok, w_qkv * (1.0 + sa_scale)[:, None],
-                          b_qkv + sa_shift @ w_qkv)
-            o = short_seq_attention(qkv, n_heads, use_pallas=pallas_attn)
-            tok = tok + (o @ (w_pr * sa_gate[None, :]) + b_pr * sa_gate)
-
-            # --- MLP, same folds ---
             w1 = bp["Dense_1"]["kernel"].astype(cdt)
             b1 = bp["Dense_1"]["bias"].astype(cdt)
             w2 = bp["Dense_2"]["kernel"].astype(cdt)
             b2 = bp["Dense_2"]["bias"].astype(cdt)
-            h = nn.gelu(ln_gemm(tok, w1 * (1.0 + m_scale)[:, None],
-                                b1 + m_shift @ w1))
-            tok = tok + (h @ (w2 * m_gate[None, :]) + b2 * m_gate)
+            w_qkv_f = w_qkv * (1.0 + sa_scale)[:, None]
+            b_qkv_f = b_qkv + sa_shift @ w_qkv
+            w_pr_f, b_pr_f = w_pr * sa_gate[None, :], b_pr * sa_gate
+            w1_f = w1 * (1.0 + m_scale)[:, None]
+            b1_f = b1 + m_shift @ w1
+            w2_f, b2_f = w2 * m_gate[None, :], b2 * m_gate
+
+            if not fold_ln and fused_block is not False:
+                tok = fused_dit_block(
+                    tok, w_qkv_f, b_qkv_f, w_pr_f, b_pr_f, w1_f, b1_f,
+                    w2_f, b2_f, n_heads, use_pallas=fused_block)
+                continue
+
+            qkv = ln_gemm(tok, w_qkv_f, b_qkv_f)
+            o = short_seq_attention(qkv, n_heads, use_pallas=pallas_attn)
+            tok = tok + (o @ w_pr_f + b_pr_f)
+            h = nn.gelu(ln_gemm(tok, w1_f, b1_f))
+            tok = tok + (h @ w2_f + b2_f)
 
         # final adaLN folded into the fp32 unpatchify head
         fmod = dense(sc, p["final_mod"])[0].astype(jnp.float32)

@@ -352,3 +352,113 @@ def short_seq_attention(qkv: Array, n_heads: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
     )(qkv)
+
+
+# ---------------------------------------------------------------------------
+# fused whole-DiT-block kernel (folded serving path)
+# ---------------------------------------------------------------------------
+def _ln_f32(x):
+    """LayerNorm(use_scale=False, use_bias=False) with fp32 stats — parity
+    with models.dit._ln_nostats_fp32 (fast-variance form, clamped, eps 1e-6);
+    returns the input dtype."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True) - mu * mu)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+def _dit_block_kernel(tok_ref, wqkv_ref, bqkv_ref, wpr_ref, bpr_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                      n_heads: int, t: int, scale: float):
+    """One whole adaLN-folded DiT block (LN -> QKV GEMM -> attention ->
+    proj+residual -> LN -> MLP+residual) for one packed batch tile, entirely
+    in VMEM.
+
+    After the fused-attention kernel took the flagship forward 4.13 ->
+    2.59 ms, the remaining gap to the 1.12 ms ideal-GEMM bound is HBM
+    round-trips *between* the block's ops (the MLP pair alone measured
+    39 TF/s — ~3x its bandwidth bound — because the (B,N,4D) GELU
+    intermediate is written and re-read). Here the residual stream tile is
+    read once and written once per block; every intermediate (qkv, scores,
+    GELU hidden) lives in VMEM. Weights arrive pre-folded (per-step adaLN
+    constants already in the GEMM weights/biases — models/dit.py fold
+    algebra) with constant index maps, so Mosaic fetches them once, not per
+    grid step. fp32 MXU accumulation + fp32 LN/softmax stats; residual adds
+    in the stream dtype (bf16), matching the XLA folded path."""
+    bb = tok_ref.shape[0]
+    rows = bb * t
+    d = tok_ref.shape[2]
+    hd = d // n_heads
+    x = tok_ref[:].reshape(rows, d)
+    cdt = x.dtype
+
+    def gemm(a, w_ref, b_ref):
+        y = jnp.dot(a, w_ref[:], preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(cdt)
+
+    # --- attention half ---
+    qkv = gemm(_ln_f32(x), wqkv_ref, bqkv_ref)          # (rows, 3D)
+    if bb > 1:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // t
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // t
+        neg = jnp.where(ri == ci, 0.0, -1e30).astype(jnp.float32)
+    else:
+        neg = jnp.zeros((rows, rows), jnp.float32)
+    heads = []
+    for h in range(n_heads):                    # static unroll over heads
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s * scale + neg, axis=-1)
+        heads.append(jnp.dot(a.astype(cdt), v,
+                             preferred_element_type=jnp.float32).astype(cdt))
+    o = jnp.concatenate(heads, axis=1)
+    x = x + gemm(o, wpr_ref, bpr_ref)
+
+    # --- MLP half ---
+    hmid = jax.nn.gelu(gemm(_ln_f32(x), w1_ref, b1_ref))
+    x = x + gemm(hmid, w2_ref, b2_ref)
+    out_ref[:] = x.reshape(bb, t, d)
+
+
+def fused_dit_block(tok: Array, w_qkv: Array, b_qkv: Array, w_pr: Array,
+                    b_pr: Array, w1: Array, b1: Array, w2: Array, b2: Array,
+                    n_heads: int, use_pallas: bool | None = None,
+                    target_rows: int = 256) -> Array:
+    """One folded DiT block over ``tok`` (B, T, D) with pre-folded weights
+    (adaLN modulation/gates already folded in — models/dit.py): returns
+    tok + attn_half + mlp_half. XLA fallback is the folded path's own GEMM
+    chain; the Pallas path fuses the whole block into one VMEM pass per
+    packed batch tile."""
+    b, t, d = tok.shape
+    hd = d // n_heads
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    scale = 1.0 / float(hd) ** 0.5
+    if not use_pallas:
+        h = _ln_f32(tok) @ w_qkv + b_qkv
+        o = short_seq_attention(h, n_heads, use_pallas=False)
+        tok = tok + (o @ w_pr + b_pr)
+        m = jax.nn.gelu(_ln_f32(tok) @ w1 + b1)
+        return tok + (m @ w2 + b2)
+
+    bb = _pick_batch_tile(b, t, target_rows=target_rows)
+    kernel = functools.partial(_dit_block_kernel, n_heads=n_heads, t=t,
+                               scale=scale)
+    const = lambda i: (0, 0)
+    w_specs = [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
+               for w in (w_qkv, b_qkv.reshape(1, -1), w_pr,
+                         b_pr.reshape(1, -1), w1, b1.reshape(1, -1),
+                         w2, b2.reshape(1, -1))]
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), tok.dtype),
+    )(tok, w_qkv, b_qkv.reshape(1, -1), w_pr, b_pr.reshape(1, -1),
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))

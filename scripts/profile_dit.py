@@ -79,7 +79,8 @@ def main():
         # r4 serving path: adaLN folded into per-step GEMM weights,
         # patchify as GEMM (same param tree as fused-qkv)
         "FOLDED": (lambda xx, f=make_folded_apply(variants[True][0],
-                                                  pallas_attn=False):
+                                                  pallas_attn=False,
+                                                  fused_block=False):
                    f(variants[True][1], xx, t)),
         # + LN normalization folded into the GEMM epilogue (raw-stream GEMM)
         "FOLD_LN": (lambda xx, f=make_folded_apply(variants[True][0],
@@ -89,7 +90,12 @@ def main():
         # + fused scores/softmax/value Pallas kernel (the measured limiter:
         # attention internals ran 0.51 ms/block vs 0.05 ms GEMM-cost, r4)
         "PALLAS_ATTN": (lambda xx, f=make_folded_apply(variants[True][0],
-                                                       pallas_attn=True):
+                                                       pallas_attn=True,
+                                                       fused_block=False):
+                        f(variants[True][1], xx, t)),
+        # + whole block (LN+QKV+attn+proj+LN+MLP+residuals) as ONE kernel
+        "FUSED_BLOCK": (lambda xx, f=make_folded_apply(variants[True][0],
+                                                       fused_block=True):
                         f(variants[True][1], xx, t)),
     }
     for rep in range(2):  # interleave all variants per round
@@ -200,18 +206,13 @@ def main():
         ("stock", "unroll"): build_sampler(stock_model, stock_model.apply, 5),
         ("fused", "unroll"): build_sampler(fused_model, fused_model.apply, 5),
         ("folded", "unroll"): build_sampler(
-            fused_model, make_folded_apply(fused_model, pallas_attn=False),
-            5),
-        ("foldln", "unroll"): build_sampler(
-            fused_model,
-            make_folded_apply(fused_model, fold_ln=True, pallas_attn=False),
-            5),
+            fused_model, make_folded_apply(fused_model, pallas_attn=False,
+                                           fused_block=False), 5),
         ("pallas", "unroll"): build_sampler(
-            fused_model, make_folded_apply(fused_model, pallas_attn=True),
-            5),
-        ("pallasln", "unroll"): build_sampler(
-            fused_model,
-            make_folded_apply(fused_model, fold_ln=True, pallas_attn=True),
+            fused_model, make_folded_apply(fused_model, pallas_attn=True,
+                                           fused_block=False), 5),
+        ("block", "unroll"): build_sampler(
+            fused_model, make_folded_apply(fused_model, fused_block=True),
             5),
     }
     for tag, sample in samplers_by_tag.items():  # compile+warm all first

@@ -130,3 +130,38 @@ def test_short_seq_attention_no_cross_image_leakage(key):
     np.testing.assert_allclose(np.asarray(out2[1:]), np.asarray(out[1:]),
                                rtol=1e-6, atol=1e-6)
     assert float(jnp.abs(out2[0] - out[0]).max()) > 1e-3
+
+
+@pytest.mark.parametrize("b,t,d,h", [(8, 16, 64, 2), (4, 49, 32, 2)])
+def test_fused_dit_block_matches_fallback(key, b, t, d, h):
+    ks = jax.random.split(key, 9)
+    tok = jax.random.normal(ks[0], (b, t, d), jnp.float32)
+    wq = jax.random.normal(ks[1], (d, 3 * d)) * 0.1
+    bq = jax.random.normal(ks[2], (3 * d,)) * 0.1
+    wp = jax.random.normal(ks[3], (d, d)) * 0.1
+    bp_ = jax.random.normal(ks[4], (d,)) * 0.1
+    w1 = jax.random.normal(ks[5], (d, 4 * d)) * 0.1
+    b1 = jax.random.normal(ks[6], (4 * d,)) * 0.1
+    w2 = jax.random.normal(ks[7], (4 * d, d)) * 0.1
+    b2 = jax.random.normal(ks[8], (d,)) * 0.1
+    ref = pk.fused_dit_block(tok, wq, bq, wp, bp_, w1, b1, w2, b2, h,
+                             use_pallas=False)
+    out = pk.fused_dit_block(tok, wq, bq, wp, bp_, w1, b1, w2, b2, h,
+                             use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_folded_apply_fused_block_matches_module(key):
+    """make_folded_apply(fused_block=True) == DiT.apply at batch-constant t
+    (the TestFoldedDiT contract, through the whole-block kernel path)."""
+    from composable_diffusion_models_tpu.models import DiT, make_folded_apply
+    model = DiT(patch=4, dim=32, depth=2, n_heads=2, in_channels=1,
+                qkv_fused=True)
+    x = jax.random.normal(key, (4, 8, 8, 1), jnp.float32)
+    t = jnp.full((1,), 0.37, jnp.float32)
+    params = model.init(key, x, t)
+    ref = model.apply(params, x, t)
+    got = make_folded_apply(model, fused_block=True)(params, x, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -313,12 +313,16 @@ def gate_verdict(flagship: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--flagship", default="dit_p7_d256_l8",
+    ap.add_argument("--flagship", default="dit_p7_d256_l6",
                     help="headline model config: dit_p<P>_d<D>_l<L> or "
-                         "unet<W>. Default is the r3 quality-gated DiT "
-                         "(artifacts/quality_gate_r3): composed quality "
-                         "equal to the reference-parity base-64 UNet at "
-                         "3.7x fewer FLOPs. 'unet64' reproduces the r1/r2 "
+                         "unet<W>. Default is the r4 quality-gated DiT "
+                         "(artifacts/quality_gate_r4: FAILs the self-judged "
+                         "gate at the 12k-step reference-equivalent budget "
+                         "but PASSes at 24k and 48k — training budget is an "
+                         "axis, VERDICT r3 item 2; the extra 12k steps cost "
+                         "~95 s at the measured 32.6k img/s train rate). "
+                         "'dit_p7_d256_l8' is the r3 flagship (PASSes at "
+                         "12k); 'unet64' reproduces the r1/r2 "
                          "reference-architecture headline.")
     ap.add_argument("--batch_sizes", default="512,768,1024",
                     help="headline sweep (unet flagships want ~256,384,512)")

@@ -28,6 +28,7 @@ Full run:
 import argparse
 import functools
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -566,10 +567,32 @@ def main():
                        "t_switch": t_switch, "hue_aug": args.hue_aug,
                        "probe_seeds": args.probe_seeds,
                        "cells": {}, "aggregate": {}}
+        # per-cell resume: each completed cell is checkpointed to a .partial
+        # file, so a killed run (the tunnel degrades for tens of minutes at
+        # a time — CLAUDE.md) relaunched by scripts/tpu_retry.sh skips the
+        # cells it already trained+scored instead of redoing ~10 min each
+        partial_path = (f"{mgr.results_dir}/compositional_sweep_"
+                        f"{args.dataset}_{optag}.partial.json")
+        if os.path.exists(partial_path):
+            try:
+                with open(partial_path) as f:
+                    prev = json.load(f)
+                if (prev.get("sweep_cells") == full_report["sweep_cells"]
+                        and prev.get("weight_grid") == weight_grid):
+                    full_report["cells"] = prev.get("cells", {})
+                    print(f"resuming sweep: {len(full_report['cells'])} "
+                          f"cell(s) loaded from {partial_path}")
+            except ValueError:
+                pass
         for i, holdout in enumerate(cells):
             ctag = ",".join(f"{h[0]}-{h[1]}" for h in holdout)
+            if ctag in full_report["cells"]:
+                print(f"===== holdout cell {ctag}: cached (resume) =====")
+                continue
             print(f"===== holdout cell {ctag} ({i + 1}/{len(cells)}) =====")
             full_report["cells"][ctag] = evaluate_cell(holdout, i)
+            with open(partial_path, "w") as f:
+                json.dump(full_report, f)
         for wtag in next(iter(full_report["cells"].values())):
             held = [c[wtag]["heldout_joint_acc"]
                     for c in full_report["cells"].values() if wtag in c]

@@ -29,6 +29,7 @@ import argparse
 import functools
 import json
 import os
+import pickle
 
 import jax
 import jax.numpy as jnp
@@ -229,15 +230,33 @@ def main():
     else:
         cells = [[tuple(h) for h in json.loads(args.holdout)]]
 
+    # sub-cell work units are pickle-cached next to the report: the tunnel's
+    # up-windows (r4: ~10-20 min between multi-minute hangs) are shorter
+    # than a full sweep, so a relaunched run must only redo the unit it was
+    # killed in (cells themselves resume via the .partial report below)
+    def _cached(tag, build):
+        path = os.path.join(mgr.results_dir, f"cache_{tag}.pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        val = build()
+        import numpy as _np
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(_np.asarray, val), f)
+        return val
+
     # eval probe(s) on the FULL data (they must know what held-out combos
     # look like); extra seeds give independent verdicts on the same samples
     probes = []
     for i in range(args.probe_seeds):
         print(f"training eval probe {i} ...")
-        pm, pp = ceval.train_probe(
-            jax.random.fold_in(key, 1 + 1000 * i), full_imgs,
-            (full_s, full_c), num_classes=n_classes, steps=args.probe_steps,
-            noise_aug=args.probe_noise)
+        pm = ceval.ProbeClassifier(tuple(n_classes), 32, jnp.bfloat16)
+        pp = _cached(
+            f"probe{i}_{args.dataset}",
+            lambda: ceval.train_probe(
+                jax.random.fold_in(key, 1 + 1000 * i), full_imgs,
+                (full_s, full_c), num_classes=n_classes,
+                steps=args.probe_steps, noise_aug=args.probe_noise)[1])
         sanity = ceval.probe_accuracy(pm, pp, full_imgs[:512],
                                       (full_s[:512], full_c[:512]))
         print(f"probe {i} held-in accuracy: {sanity}")
@@ -473,7 +492,9 @@ def main():
         """The full per-holdout protocol: train experts on the filtered
         data, sample every combo under every operator setting, score."""
         held_imgs, held_s, held_c = held_data(holdout)
-        sp, cp, gpp = train_experts(held_imgs, held_s, held_c, cell_idx)
+        sp, cp, gpp = _cached(
+            f"experts_{args.dataset}_cell{cell_idx}",
+            lambda: train_experts(held_imgs, held_s, held_c, cell_idx))
         gpp_arg = gpp if gpp is not None else jnp.zeros(())
         ops_report = {}
         seen_settings = set()

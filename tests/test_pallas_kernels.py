@@ -132,7 +132,9 @@ def test_short_seq_attention_no_cross_image_leakage(key):
     assert float(jnp.abs(out2[0] - out[0]).max()) > 1e-3
 
 
-@pytest.mark.parametrize("b,t,d,h", [(8, 16, 64, 2), (4, 49, 32, 2)])
+@pytest.mark.parametrize("b,t,d,h", [(8, 16, 64, 2),   # 1 attn chunk
+                                     (4, 49, 32, 2),   # 2 uneven chunks
+                                     (4, 64, 32, 2)])  # shapes-64 tokens
 def test_fused_dit_block_matches_fallback(key, b, t, d, h):
     ks = jax.random.split(key, 9)
     tok = jax.random.normal(ks[0], (b, t, d), jnp.float32)

@@ -398,22 +398,39 @@ def _dit_block_kernel(tok_ref, wqkv_ref, bqkv_ref, wpr_ref, bpr_ref,
 
     # --- attention half ---
     qkv = gemm(_ln_f32(x), wqkv_ref, bqkv_ref)          # (rows, 3D)
-    if bb > 1:
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // t
-        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // t
+    # attention runs on SUB-CHUNKS of the packed rows: the GEMMs above/below
+    # want the full 2-tile M (bb*t = 256), but the packed-attention cost
+    # (score dots + masked softmax) scales LINEARLY in the packed width —
+    # score FLOPs bb*t^2 and exp count bb*t^2 per head per image-row. A
+    # 128-row attention chunk (128//t images) halves both vs the 256-row
+    # form at identical math (attention is per-image; chunking just shrinks
+    # the discarded cross-image block).
+    chunk_imgs = max(1, min(bb, 128 // t))
+    while bb % chunk_imgs:
+        chunk_imgs -= 1
+    chunk = chunk_imgs * t
+    if chunk_imgs > 1:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) // t
+        ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) // t
         neg = jnp.where(ri == ci, 0.0, -1e30).astype(jnp.float32)
     else:
-        neg = jnp.zeros((rows, rows), jnp.float32)
+        neg = jnp.zeros((chunk, chunk), jnp.float32)
     heads = []
     for h in range(n_heads):                    # static unroll over heads
         q = qkv[:, h * hd:(h + 1) * hd]
         k = qkv[:, d + h * hd:d + (h + 1) * hd]
         v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        a = jax.nn.softmax(s * scale + neg, axis=-1)
-        heads.append(jnp.dot(a.astype(cdt), v,
-                             preferred_element_type=jnp.float32).astype(cdt))
+        chunks = []
+        for c0 in range(0, rows, chunk):        # static unroll over chunks
+            s = jax.lax.dot_general(
+                q[c0:c0 + chunk], k[c0:c0 + chunk],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(s * scale + neg, axis=-1)
+            chunks.append(jnp.dot(a.astype(cdt), v[c0:c0 + chunk],
+                                  preferred_element_type=jnp.float32))
+        heads.append(jnp.concatenate(chunks, axis=0).astype(cdt)
+                     if len(chunks) > 1 else chunks[0].astype(cdt))
     o = jnp.concatenate(heads, axis=1)
     x = x + gemm(o, wpr_ref, bpr_ref)
 

@@ -178,7 +178,9 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
                            qkv_fused: bool = False,
                            folded: bool = False,
                            fold_ln: bool = False,
-                           pallas_attn: bool | None = None) -> float:
+                           pallas_attn: bool | None = None,
+                           fused_block: bool | None = None,
+                           n_heads: int = 8) -> float:
     """DiT composer throughput on the bench workload — MNIST 28x28,
     50-step DDIM, 3 composed experts. Used twice:
 
@@ -200,8 +202,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
     from composable_diffusion_models_tpu.models import DiT, make_folded_apply
 
     key = jax.random.PRNGKey(0)
-    model = DiT(patch=patch, dim=dim, depth=depth, in_channels=1,
-                qkv_fused=qkv_fused, dtype=jnp.bfloat16)
+    model = DiT(patch=patch, dim=dim, depth=depth, n_heads=n_heads,
+                in_channels=1, qkv_fused=qkv_fused, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, 28, 28, 1))
     params_list = [
         jax.tree_util.tree_map(
@@ -210,7 +212,8 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
         for i in range(3)
     ]
     apply_fn = (make_folded_apply(model, fold_ln=fold_ln,
-                                  pallas_attn=pallas_attn) if folded
+                                  pallas_attn=pallas_attn,
+                                  fused_block=fused_block) if folded
                 else model.apply)
     stack = experts.ExpertStack(apply_fn, params_list)
     schedule = VPSchedule()
@@ -289,26 +292,38 @@ def measure_shapes_throughput(iters: int = 3, bs: int = 128,
 
 
 def gate_verdict(flagship: str):
-    """Newest committed quality-gate verdict for a flagship config, from
+    """Committed quality-gate verdict for a flagship config, from
     artifacts/quality_gate*/quality_<flagship>*.json ("verdict" written by
     scripts/quality_gate_flagship.py --baseline since r4). Returns
-    (verdict_or_None, path_or_None)."""
+    (verdict_or_None, path_or_None).
+
+    Selection is DETERMINISTIC (ADVICE r4 item 4 — mtime is checkout time
+    after a fresh clone): a PASS at ANY training budget wins over FAILs at
+    other budgets (budget is a recipe axis, and a config that FAILs at 12k
+    but PASSes at 24k is a passing config whose recipe costs 24k steps —
+    the returned path carries the budget the claim rests on); among
+    multiple PASSes (or only FAILs) the highest budget wins, then the
+    lexicographically last path (later round directories sort later)."""
     import glob
     import os
     root = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(
-        glob.glob(os.path.join(root, "artifacts", "quality_gate*",
-                               f"quality_{flagship}*.json")),
-        key=os.path.getmtime)
-    for p in reversed(paths):
+    paths = glob.glob(os.path.join(root, "artifacts", "quality_gate*",
+                                   f"quality_{flagship}*.json"))
+    candidates = []
+    for p in sorted(paths):
         try:
             with open(p) as f:
-                v = json.load(f).get("verdict")
+                rep = json.load(f)
         except (OSError, ValueError):
             continue
+        v = rep.get("verdict")
         if v:
-            return v, p
-    return None, None
+            candidates.append((v == "PASS", int(rep.get("train_steps", 0)),
+                               p, v))
+    if not candidates:
+        return None, None
+    _, _, p, v = max(candidates)
+    return v, p
 
 
 def main():
@@ -366,6 +381,16 @@ def main():
                          "Same attention math (interpret-mode parity in "
                          "test_pallas_kernels.py); scores stay fp32 where "
                          "the einsum path rounds them to bf16.")
+    ap.add_argument("--fused_block", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="with --folded: run each whole DiT block (LN, QKV "
+                         "GEMM, attention, proj+residual, LN, MLP+residual) "
+                         "as ONE Pallas kernel (ops.fused_dit_block; "
+                         "subsumes --pallas_attn). Default None = auto (on "
+                         "for TPU, matching make_folded_apply); "
+                         "--no-pallas_attn implies --no-fused_block so the "
+                         "measured path honestly contains no Pallas "
+                         "attention (ADVICE r4 item 1).")
     ap.add_argument("--folded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="DiT flagships: serve with models.dit."
@@ -393,6 +418,15 @@ def main():
                          "candidate-width sweeps where only the headline "
                          "path varies; extras report 0.0")
     args = ap.parse_args()
+
+    # --no-pallas_attn promises a Pallas-free attention path; the fused
+    # block kernel contains one, so it must come off too (ADVICE r4 item 1)
+    if args.pallas_attn is False:
+        if args.fused_block:
+            ap.error("--no-pallas_attn with --fused_block is inconsistent: "
+                     "the fused block kernel runs the Pallas attention "
+                     "internally")
+        args.fused_block = False
 
     verdict, vpath = gate_verdict(args.flagship)
     if verdict == "FAIL" and not args.force:
@@ -460,7 +494,9 @@ def main():
                     batch_size=bs, iters=args.iters, dim=spec["d"],
                     depth=spec["l"], patch=spec["p"],
                     qkv_fused=args.qkv_fused, folded=args.folded,
-                    fold_ln=args.fold_ln, pallas_attn=args.pallas_attn)
+                    fold_ln=args.fold_ln, pallas_attn=args.pallas_attn,
+                    fused_block=args.fused_block,
+                    n_heads=spec.get("h", 8))
                 t = bs / ips
         except Exception as e:  # OOM at large batch: skip
             print(f"# batch {bs} failed: {type(e).__name__}", file=sys.stderr)
@@ -513,6 +549,7 @@ def main():
                   "folded": bool(args.folded),
                   "fold_ln": bool(args.fold_ln),
                   "pallas_attn": args.pallas_attn,
+                  "fused_block": args.fused_block,
                   "batch_size": best_bs,
                   "sampler_steps_per_sec": round(steps_per_sec, 2),
                   "unet64_parity_images_per_sec": round(unet_parity_ips, 1),

@@ -135,6 +135,15 @@ class DiT(nn.Module):
       num_classes: label slots, same contract as UNet (embeddings are ADDED
                    to the time conditioning vector).
       null_token:  reserve one extra row per slot for CFG dropout.
+      pallas_attn: INFERENCE-ONLY — routes attention through the fused
+                   ``ops.short_seq_attention`` Pallas kernel, which has no
+                   autodiff rule (``jax.grad`` through it raises). Training
+                   always runs ``DiT.apply`` with the default einsum path;
+                   serving uses ``make_folded_apply`` (where the kernel —
+                   or the whole-block ``fused_dit_block`` — is the measured
+                   default on TPU). CI exercises the kernels in interpret
+                   mode (test_pallas_kernels.py); hardware lowering is
+                   validated by the on-TPU measurements in DESIGN.md §3.3.
 
     Unlike the (fully convolutional, size-agnostic) UNet, the learned
     positional embedding ties a checkpoint to one image size — init and
@@ -282,7 +291,8 @@ def _batch1(name: str, arr: Array) -> Array:
 
 def make_folded_apply(model: DiT, fold_ln: bool = False,
                       pallas_attn: bool | None = None,
-                      fused_block: bool | None = None):
+                      fused_block: bool | None = None,
+                      attn_mode: str = "packed"):
     """Build ``apply(params, x, t, *labels)`` computing ``model.apply`` with
     per-step adaLN folding (see module comment above). Drop-in for
     ``ExpertStack``/samplers; requires t (and every label) batch-size 1.
@@ -394,7 +404,8 @@ def make_folded_apply(model: DiT, fold_ln: bool = False,
             if not fold_ln and fused_block is not False:
                 tok = fused_dit_block(
                     tok, w_qkv_f, b_qkv_f, w_pr_f, b_pr_f, w1_f, b1_f,
-                    w2_f, b2_f, n_heads, use_pallas=fused_block)
+                    w2_f, b2_f, n_heads, use_pallas=fused_block,
+                    attn_mode=attn_mode)
                 continue
 
             qkv = ln_gemm(tok, w_qkv_f, b_qkv_f)

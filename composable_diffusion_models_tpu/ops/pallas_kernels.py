@@ -369,7 +369,8 @@ def _ln_f32(x):
 
 def _dit_block_kernel(tok_ref, wqkv_ref, bqkv_ref, wpr_ref, bpr_ref,
                       w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
-                      n_heads: int, t: int, scale: float):
+                      n_heads: int, t: int, scale: float,
+                      attn_mode: str = "packed"):
     """One whole adaLN-folded DiT block (LN -> QKV GEMM -> attention ->
     proj+residual -> LN -> MLP+residual) for one packed batch tile, entirely
     in VMEM.
@@ -398,39 +399,62 @@ def _dit_block_kernel(tok_ref, wqkv_ref, bqkv_ref, wpr_ref, bpr_ref,
 
     # --- attention half ---
     qkv = gemm(_ln_f32(x), wqkv_ref, bqkv_ref)          # (rows, 3D)
-    # attention runs on SUB-CHUNKS of the packed rows: the GEMMs above/below
-    # want the full 2-tile M (bb*t = 256), but the packed-attention cost
-    # (score dots + masked softmax) scales LINEARLY in the packed width —
-    # score FLOPs bb*t^2 and exp count bb*t^2 per head per image-row. A
-    # 128-row attention chunk (128//t images) halves both vs the 256-row
-    # form at identical math (attention is per-image; chunking just shrinks
-    # the discarded cross-image block).
-    chunk_imgs = max(1, min(bb, 128 // t))
-    while bb % chunk_imgs:
-        chunk_imgs -= 1
-    chunk = chunk_imgs * t
-    if chunk_imgs > 1:
-        ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) // t
-        ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) // t
-        neg = jnp.where(ri == ci, 0.0, -1e30).astype(jnp.float32)
+    if attn_mode == "batched":
+        # per-image attention via dot_general BATCH dimensions (VERDICT r4
+        # item 2a): score shapes are the true (t, hd, t) per image — no
+        # block-diagonal mask, no cross-image exp (the packed form spends
+        # 128//t x the needed exps and score MACs). The trade: each batch
+        # element is a 1.5%-of-a-tile MXU dot, so this wins only if
+        # Mosaic's batched lowering beats the packed form's masked
+        # overspend — an A/B measured on hardware (DESIGN.md §3.3 r5).
+        heads = []
+        for h in range(n_heads):                # static unroll over heads
+            q = qkv[:, h * hd:(h + 1) * hd].reshape(bb, t, hd)
+            k = qkv[:, d + h * hd:d + (h + 1) * hd].reshape(bb, t, hd)
+            v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd].reshape(
+                bb, t, hd)
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(s * scale, axis=-1)      # (bb, t, t)
+            o = jax.lax.dot_general(a.astype(cdt), v,
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            heads.append(o.reshape(rows, hd).astype(cdt))
     else:
-        neg = jnp.zeros((chunk, chunk), jnp.float32)
-    heads = []
-    for h in range(n_heads):                    # static unroll over heads
-        q = qkv[:, h * hd:(h + 1) * hd]
-        k = qkv[:, d + h * hd:d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
-        chunks = []
-        for c0 in range(0, rows, chunk):        # static unroll over chunks
-            s = jax.lax.dot_general(
-                q[c0:c0 + chunk], k[c0:c0 + chunk],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(s * scale + neg, axis=-1)
-            chunks.append(jnp.dot(a.astype(cdt), v[c0:c0 + chunk],
-                                  preferred_element_type=jnp.float32))
-        heads.append(jnp.concatenate(chunks, axis=0).astype(cdt)
-                     if len(chunks) > 1 else chunks[0].astype(cdt))
+        # attention runs on SUB-CHUNKS of the packed rows: the GEMMs
+        # above/below want the full 2-tile M (bb*t = 256), but the
+        # packed-attention cost (score dots + masked softmax) scales
+        # LINEARLY in the packed width — score FLOPs bb*t^2 and exp count
+        # bb*t^2 per head per image-row. A 128-row attention chunk
+        # (128//t images) halves both vs the 256-row form at identical
+        # math (attention is per-image; chunking just shrinks the
+        # discarded cross-image block).
+        chunk_imgs = max(1, min(bb, 128 // t))
+        while bb % chunk_imgs:
+            chunk_imgs -= 1
+        chunk = chunk_imgs * t
+        if chunk_imgs > 1:
+            ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) // t
+            ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) // t
+            neg = jnp.where(ri == ci, 0.0, -1e30).astype(jnp.float32)
+        else:
+            neg = jnp.zeros((chunk, chunk), jnp.float32)
+        heads = []
+        for h in range(n_heads):                # static unroll over heads
+            q = qkv[:, h * hd:(h + 1) * hd]
+            k = qkv[:, d + h * hd:d + (h + 1) * hd]
+            v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            chunks = []
+            for c0 in range(0, rows, chunk):    # static unroll over chunks
+                s = jax.lax.dot_general(
+                    q[c0:c0 + chunk], k[c0:c0 + chunk],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                a = jax.nn.softmax(s * scale + neg, axis=-1)
+                chunks.append(jnp.dot(a.astype(cdt), v[c0:c0 + chunk],
+                                      preferred_element_type=jnp.float32))
+            heads.append(jnp.concatenate(chunks, axis=0).astype(cdt)
+                         if len(chunks) > 1 else chunks[0].astype(cdt))
     o = jnp.concatenate(heads, axis=1)
     x = x + gemm(o, wpr_ref, bpr_ref)
 
@@ -443,12 +467,19 @@ def _dit_block_kernel(tok_ref, wqkv_ref, bqkv_ref, wpr_ref, bpr_ref,
 def fused_dit_block(tok: Array, w_qkv: Array, b_qkv: Array, w_pr: Array,
                     b_pr: Array, w1: Array, b1: Array, w2: Array, b2: Array,
                     n_heads: int, use_pallas: bool | None = None,
-                    target_rows: int = 256) -> Array:
+                    target_rows: int = 256,
+                    attn_mode: str = "packed") -> Array:
     """One folded DiT block over ``tok`` (B, T, D) with pre-folded weights
     (adaLN modulation/gates already folded in — models/dit.py): returns
     tok + attn_half + mlp_half. XLA fallback is the folded path's own GEMM
     chain; the Pallas path fuses the whole block into one VMEM pass per
-    packed batch tile."""
+    packed batch tile.
+
+    ``attn_mode``: 'packed' computes scores on 128-row packed image blocks
+    with a block-diagonal mask (MXU-aligned dots, 128//T x exp/MAC
+    overspend); 'batched' uses dot_general batch dims per image (exact
+    FLOPs, tiny per-image dot shapes). Identical math; A/B in
+    scripts/profile_dit.py, measured numbers in DESIGN.md §3.3."""
     b, t, d = tok.shape
     hd = d // n_heads
     if use_pallas is None:
@@ -463,7 +494,7 @@ def fused_dit_block(tok: Array, w_qkv: Array, b_qkv: Array, w_pr: Array,
 
     bb = _pick_batch_tile(b, t, target_rows=target_rows)
     kernel = functools.partial(_dit_block_kernel, n_heads=n_heads, t=t,
-                               scale=scale)
+                               scale=scale, attn_mode=attn_mode)
     const = lambda i: (0, 0)
     w_specs = [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
                for w in (w_qkv, b_qkv.reshape(1, -1), w_pr,

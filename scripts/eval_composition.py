@@ -233,26 +233,48 @@ def main():
     # sub-cell work units are pickle-cached next to the report: the tunnel's
     # up-windows (r4: ~10-20 min between multi-minute hangs) are shorter
     # than a full sweep, so a relaunched run must only redo the unit it was
-    # killed in (cells themselves resume via the .partial report below)
+    # killed in (cells themselves resume via the .partial report below).
+    # Tags carry a HASH of every hyperparameter that shapes the cached value
+    # (ADVICE r4 item 2: a tag keyed only by dataset+cell silently reuses
+    # experts trained for a DIFFERENT holdout/recipe — likely inflating
+    # heldout_joint_acc since those experts may have SEEN the held-out
+    # combo; a --smoke probe would poison later full runs the same way).
+    def _cfg_hash(parts: dict) -> str:
+        import hashlib
+        blob = json.dumps(parts, sort_keys=True, default=str)
+        return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
     def _cached(tag, build):
         path = os.path.join(mgr.results_dir, f"cache_{tag}.pkl")
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                return pickle.load(f)
+            # guarded load (ADVICE r4 item 3): the kill-mid-run scenario
+            # this cache exists for can truncate the pickle; a crash here
+            # would loop forever under tpu_retry.sh
+            try:
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+            except (EOFError, pickle.UnpicklingError, ValueError, OSError):
+                print(f"corrupt cache {path} — deleting and rebuilding")
+                os.remove(path)
         val = build()
         import numpy as _np
-        with open(path, "wb") as f:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             pickle.dump(jax.tree_util.tree_map(_np.asarray, val), f)
+        os.replace(tmp, path)  # atomic: never a half-written cache
         return val
 
     # eval probe(s) on the FULL data (they must know what held-out combos
     # look like); extra seeds give independent verdicts on the same samples
+    probe_hash = _cfg_hash({
+        "probe_steps": args.probe_steps, "probe_noise": args.probe_noise,
+        "data_n": cfg.data.n, "size": size, "seed": args.seed})
     probes = []
     for i in range(args.probe_seeds):
         print(f"training eval probe {i} ...")
         pm = ceval.ProbeClassifier(tuple(n_classes), 32, jnp.bfloat16)
         pp = _cached(
-            f"probe{i}_{args.dataset}",
+            f"probe{i}_{args.dataset}_{probe_hash}",
             lambda: ceval.train_probe(
                 jax.random.fold_in(key, 1 + 1000 * i), full_imgs,
                 (full_s, full_c), num_classes=n_classes,
@@ -492,8 +514,20 @@ def main():
         """The full per-holdout protocol: train experts on the filtered
         data, sample every combo under every operator setting, score."""
         held_imgs, held_s, held_c = held_data(holdout)
+        expert_hash = _cfg_hash({
+            "holdout": sorted(list(h) for h in holdout),
+            "train": {"steps": cfg.train.steps,
+                      "batch_size": cfg.train.batch_size,
+                      "lr": cfg.train.lr, "ema": cfg.train.ema_decay,
+                      "snr_gamma": cfg.train.snr_gamma},
+            "model": str(cfg.model), "uncond_prob": args.uncond_prob,
+            "hue_aug": args.hue_aug, "f0_gray": args.factor0_grayscale,
+            "gray_norm": args.gray_norm, "gray_proj": args.gray_proj,
+            "gprobe": (args.probe_steps, args.probe_noise) if need_gprobe
+                      else None,
+            "data_n": cfg.data.n, "size": size, "seed": args.seed})
         sp, cp, gpp = _cached(
-            f"experts_{args.dataset}_cell{cell_idx}",
+            f"experts_{args.dataset}_cell{cell_idx}_{expert_hash}",
             lambda: train_experts(held_imgs, held_s, held_c, cell_idx))
         gpp_arg = gpp if gpp is not None else jnp.zeros(())
         ops_report = {}

@@ -70,8 +70,10 @@ def build_model(name: str, dtype):
 
     unet<W>       — the reference M1 UNet at base_dim W (64 = parity;
                     32 = the reference's own M5 width).
-    dit_p<P>_d<D>_l<L> — throughput-sized DiT (models/dit.py), patch P,
-                    dim D, depth L.
+    dit_p<P>_d<D>_l<L>[_h<H>] — throughput-sized DiT (models/dit.py),
+                    patch P, dim D, depth L, heads H (default 8; pick H
+                    so dim/H = 32 — the Pallas kernels slice per-head
+                    blocks at hd offsets).
 
     Returns (model, serve_fn): serve_fn is the apply the BENCH runs — the
     folded fast path for DiTs (models.dit.make_folded_apply), plain apply
@@ -84,7 +86,7 @@ def build_model(name: str, dtype):
         from composable_diffusion_models_tpu.models import make_folded_apply
         parts = {p[0]: int(p[1:]) for p in name.split("_")[1:]}
         m = DiT(patch=parts["p"], dim=parts["d"], depth=parts["l"],
-                n_heads=8, in_channels=1, dtype=dtype)
+                n_heads=parts.get("h", 8), in_channels=1, dtype=dtype)
         return m, make_folded_apply(m)
     raise ValueError(f"unknown config {name}")
 
@@ -103,25 +105,53 @@ GATE_CRITERIA = (
 
 
 def judge(report: dict, baseline: dict, tol: float, div_frac: float,
-          fid_slack: float, criteria=GATE_CRITERIA) -> dict:
+          fid_slack: float, criteria=GATE_CRITERIA,
+          n_samples: int | None = None) -> dict:
     """PASS iff every criterion holds vs the baseline report (see module
     docstring). Returns {"verdict", "criteria": {...}}. ``criteria`` rows
     are (name, extractor, direction, kind) — quality_gate_shapes.py reuses
-    the judge with its own rows."""
+    the judge with its own rows.
+
+    With ``n_samples``, each criterion row also carries its decision
+    threshold, a sampling-noise scale, and a ``near_boundary`` flag
+    (VERDICT r4 item 6: at n=256 a criterion difference of ~0.004 is ONE
+    sample's probe flip — a verdict decided inside that band is a coin
+    flip, not a gate). Noise model: the accuracy criteria are binomial
+    fractions with s.e. <= 0.5/sqrt(n), so 2/sqrt(n) is a ~4-sigma band;
+    the entropy/diversity/fid criteria are sample means whose relative
+    s.e. shrinks the same way, so the band is 2/sqrt(n) x |baseline|.
+    The caller escalates (more samples, second seed) when any row is
+    near_boundary before trusting the verdict."""
     crit = {}
     ok_all = True
+    near_any = False
     for name, get, direction, kind in criteria:
         cand, base = get(report), get(baseline)
         if kind == "tol":
-            ok = cand >= base - tol
+            thr = base - tol
+            ok = cand >= thr
         elif kind == "frac":
-            ok = cand >= div_frac * base
+            thr = div_frac * base
+            ok = cand >= thr
         else:  # slack (lower is better)
-            ok = cand <= fid_slack * base + 1e-6
-        crit[name] = {"candidate": round(cand, 4), "baseline": round(base, 4),
-                      "direction": direction, "ok": bool(ok)}
+            thr = fid_slack * base + 1e-6
+            ok = cand <= thr
+        row = {"candidate": round(cand, 4), "baseline": round(base, 4),
+               "direction": direction, "ok": bool(ok)}
+        if n_samples:
+            noise = (2.0 / n_samples ** 0.5 if kind == "tol"
+                     else 2.0 / n_samples ** 0.5 * abs(base))
+            near = abs(cand - thr) < noise
+            row.update({"threshold": round(thr, 4),
+                        "noise": round(noise, 4),
+                        "near_boundary": bool(near)})
+            near_any = near_any or near
+        crit[name] = row
         ok_all = ok_all and ok
-    return {"verdict": "PASS" if ok_all else "FAIL", "criteria": crit}
+    out = {"verdict": "PASS" if ok_all else "FAIL", "criteria": crit}
+    if n_samples:
+        out["near_boundary"] = bool(near_any)
+    return out
 
 
 def probe_stats(probe, probe_params, samples, allowed, real_feats=None):
@@ -220,6 +250,7 @@ def main():
     ]
 
     reports = {}
+    scorers = {}
     for cfg_name in args.configs.split(","):
         print(f"=== config {cfg_name} ===")
         model, serve_fn = build_model(cfg_name, dtype)
@@ -244,53 +275,67 @@ def main():
                   "subsets": [list(s) for s in SUBSETS],
                   "probe_heldin": sanity, "solo": {}, "composed": None}
 
-        # solo sampling per expert — the bench compute path at K=1
-        for i, p in enumerate(params_list):
-            def eps_fn(x, t, p=p):
-                return serve_fn(p, x.astype(dtype),
-                                t.astype(dtype)).astype(jnp.float32)
+        def score(n_samples, seed_salt, save_png=True, cfg_name=cfg_name,
+                  serve_fn=serve_fn, params_list=params_list):
+            """Solo + composed sampling and probe scoring at a given sample
+            count / sampling seed — the escalation pass re-invokes this
+            with 4x samples and a fresh seed (VERDICT r4 item 6)."""
+            out = {"solo": {}, "composed": None}
+            # solo sampling per expert — the bench compute path at K=1
+            for i, p in enumerate(params_list):
+                def eps_fn(x, t, p=p):
+                    return serve_fn(p, x.astype(dtype),
+                                    t.astype(dtype)).astype(jnp.float32)
+
+                @jax.jit
+                def solo(k):
+                    x = jax.random.normal(
+                        k, (n_samples, 28, 28, 1), jnp.float32)
+                    return samplers.ddim(eps_fn, schedule, x, args.n_steps)
+
+                samples = solo(jax.random.fold_in(key, seed_salt + 30 + i))
+                stats = probe_stats(probe, probe_params, samples, SUBSETS[i],
+                                    real_feats)
+                out["solo"][f"expert_{i}"] = stats
+                if save_png:
+                    save_grid(samples[:64],
+                              f"{args.out}/{cfg_name}_solo{i}.png", nrow=8)
+                print(f"expert {i} solo: "
+                      f"in_subset={stats['in_set_frac']:.3f} "
+                      f"conf={stats['mean_max_prob']:.3f}")
+
+            # the EXACT bench program: 3-expert weighted avg, one DDIM scan
+            stack = experts.ExpertStack(serve_fn, params_list)
+            w = jnp.ones((3,), jnp.float32)
+
+            def eps_comp(x, t):
+                eps = stack(x.astype(dtype), t.astype(dtype))
+                return compose.weighted(eps.astype(jnp.float32), w)
 
             @jax.jit
-            def solo(k):
+            def composed(k):
                 x = jax.random.normal(
-                    k, (args.n_samples, 28, 28, 1), jnp.float32)
-                return samplers.ddim(eps_fn, schedule, x, args.n_steps)
+                    k, (n_samples, 28, 28, 1), jnp.float32)
+                return samplers.ddim(eps_comp, schedule, x, args.n_steps)
 
-            samples = solo(jax.random.fold_in(key, 30 + i))
-            stats = probe_stats(probe, probe_params, samples, SUBSETS[i],
+            samples = composed(jax.random.fold_in(key, seed_salt + 40))
+            allowed = tuple(sorted(c for s in SUBSETS for c in s))
+            stats = probe_stats(probe, probe_params, samples, allowed,
                                 real_feats)
-            report["solo"][f"expert_{i}"] = stats
-            save_grid(samples[:64],
-                      f"{args.out}/{cfg_name}_solo{i}.png", nrow=8)
-            print(f"expert {i} solo: in_subset={stats['in_set_frac']:.3f} "
-                  f"conf={stats['mean_max_prob']:.3f}")
+            out["composed"] = stats
+            if save_png:
+                save_grid(samples[:64], f"{args.out}/{cfg_name}_composed.png",
+                          nrow=8)
+            print(f"composed: in_union={stats['in_set_frac']:.3f} "
+                  f"conf={stats['mean_max_prob']:.3f} "
+                  f"entropy={stats['class_entropy']:.3f} "
+                  f"div={stats['diversity_mean']:.3f} "
+                  f"fid={stats['fid_probe']:.2f}")
+            return out
 
-        # the EXACT bench program: 3-expert weighted average, one DDIM scan
-        stack = experts.ExpertStack(serve_fn, params_list)
-        w = jnp.ones((3,), jnp.float32)
-
-        def eps_comp(x, t):
-            eps = stack(x.astype(dtype), t.astype(dtype))
-            return compose.weighted(eps.astype(jnp.float32), w)
-
-        @jax.jit
-        def composed(k):
-            x = jax.random.normal(
-                k, (args.n_samples, 28, 28, 1), jnp.float32)
-            return samplers.ddim(eps_comp, schedule, x, args.n_steps)
-
-        samples = composed(jax.random.fold_in(key, 40))
-        allowed = tuple(sorted(c for s in SUBSETS for c in s))
-        stats = probe_stats(probe, probe_params, samples, allowed, real_feats)
-        report["composed"] = stats
-        save_grid(samples[:64], f"{args.out}/{cfg_name}_composed.png",
-                  nrow=8)
-        print(f"composed: in_union={stats['in_set_frac']:.3f} "
-              f"conf={stats['mean_max_prob']:.3f} "
-              f"entropy={stats['class_entropy']:.3f} "
-              f"div={stats['diversity_mean']:.3f} "
-              f"fid={stats['fid_probe']:.2f}")
+        report.update(score(args.n_samples, 0))
         reports[cfg_name] = report
+        scorers[cfg_name] = score
 
     # ---- self-judging verdicts (VERDICT r3 item 4) -------------------------
     baseline = None
@@ -315,7 +360,32 @@ def main():
         if baseline is not None:
             is_baseline = report is baseline
             verdict = judge(report, baseline, args.tol, args.div_frac,
-                            args.fid_slack)
+                            args.fid_slack, n_samples=args.n_samples)
+            # near-boundary escalation (VERDICT r4 item 6): a criterion
+            # landing within sampling noise of its threshold makes the
+            # verdict a coin flip at n=256 (unet48 went PASS/FAIL/PASS
+            # across budgets on ~1-sample probe flips). Re-score with 4x
+            # the samples AND a second sampling seed, and only then
+            # verdict; both passes land in the JSON.
+            if (verdict.get("near_boundary") and not is_baseline
+                    and not args.sanity and cfg_name in scorers):
+                n_esc = 4 * args.n_samples
+                print(f"{cfg_name}: near-boundary criteria at "
+                      f"n={args.n_samples} — escalating to n={n_esc}, "
+                      "second sampling seed")
+                first_pass = {"n_samples": args.n_samples,
+                              "solo": report["solo"],
+                              "composed": report["composed"],
+                              **verdict}
+                esc = scorers[cfg_name](n_esc, 1000, save_png=False)
+                report["solo"], report["composed"] = (esc["solo"],
+                                                      esc["composed"])
+                report["n_samples"] = n_esc
+                report["escalation"] = {"first_pass": first_pass,
+                                        "escalated_n": n_esc,
+                                        "second_seed_salt": 1000}
+                verdict = judge(report, baseline, args.tol, args.div_frac,
+                                args.fid_slack, n_samples=n_esc)
             if is_baseline:
                 verdict["verdict"] = "BASELINE"
             report.update(verdict)

@@ -66,7 +66,8 @@ def build_model(name: str, dtype, img: int):
         if img % parts["p"]:
             raise ValueError(f"img {img} not divisible by patch {parts['p']}")
         m = DiT(patch=parts["p"], dim=parts["d"], depth=parts["l"],
-                n_heads=8, in_channels=3, num_classes=(3,), dtype=dtype)
+                n_heads=parts.get("h", 8), in_channels=3, num_classes=(3,),
+                dtype=dtype)
         return m, make_folded_apply(m)
     raise ValueError(f"unknown config {name}")
 
@@ -121,6 +122,7 @@ def main():
     real_feats = ceval.probe_features(probe, probe_params, full_imgs[:2048])
 
     reports = {}
+    scorers = {}
     for cfg_name in args.configs.split(","):
         print(f"=== config {cfg_name} ===")
         model, serve_fn = build_model(cfg_name, dtype, args.img)
@@ -147,65 +149,81 @@ def main():
         # cell labels are traced args so one compile covers all 9 cells
         stack = experts.ExpertStack(serve_fn, params_list)
         w = jnp.ones((2,), jnp.float32)
-        bs = args.samples_per_cell
-
-        def eps_fn(x, t, labs):
-            eps = stack(x.astype(dtype), t.astype(dtype),
-                        experts.per_expert(labs))
-            return compose.weighted(eps.astype(jnp.float32), w)
-
-        @jax.jit
-        def composed(k, labs):
-            x = jax.random.normal(k, (bs, args.img, args.img, 3),
-                                  jnp.float32)
-            return samplers.ddim(lambda xx, tt: eps_fn(xx, tt, labs),
-                                 schedule, x, args.n_steps)
 
         report = {"config": cfg_name, "workload": "shapes64_2expert_ddim50",
                   "train_steps": args.train_steps, "img": args.img,
-                  "snr_gamma": args.snr_gamma, "cells": {}, "composed": None}
-        import numpy as np
-        # cell labels are batch-constant: the folded DiT serving path folds
-        # them into per-step weights and requires shape (K, 1); the UNet
-        # path keeps the (K, B) layout of measure_shapes_throughput
-        lab_cols = 1 if cfg_name.startswith("dit") else bs
-        cell_stats, grids, all_feats, cell_divs = [], [], [], []
-        for s in range(3):
-            for c in range(3):
-                labs = jnp.stack([jnp.full((lab_cols,), s, jnp.int32),
-                                  jnp.full((lab_cols,), c, jnp.int32)])
-                samples = composed(
-                    jax.random.fold_in(key, 40 + 3 * s + c), labs)
-                samples = jnp.clip(samples, -1, 1)
-                grids.append(samples[:4])
-                scores = ceval.compositional_scores(
-                    probe, probe_params, samples, (s, c))
-                feats = ceval.probe_features(probe, probe_params, samples)
-                all_feats.append(feats)
-                f = np.asarray(feats)
-                dmat = np.sqrt(np.maximum(
-                    ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1), 0.0))
-                iu = np.triu_indices(f.shape[0], k=1)
-                cell_divs.append(float(dmat[iu].mean()))
-                report["cells"][f"{s},{c}"] = scores
-                cell_stats.append(scores["joint_acc"])
-                print(f"cell ({s},{c}): joint={scores['joint_acc']:.3f}")
-        feats_all = jnp.concatenate(all_feats, axis=0)
-        report["composed"] = {
-            "joint_mean": float(np.mean(cell_stats)),
-            "joint_min": float(np.min(cell_stats)),
-            "diversity_mean": float(np.mean(cell_divs)),
-            "diversity_min": float(np.min(cell_divs)),
-            "fid_probe": round(
-                ceval.frechet_probe_distance(feats_all, real_feats), 4),
-        }
-        save_grid(jnp.concatenate(grids, axis=0),
-                  f"{args.out}/{cfg_name}_cells.png", nrow=12)
-        cm = report["composed"]
-        print(f"{cfg_name}: joint mean={cm['joint_mean']:.3f} "
-              f"min={cm['joint_min']:.3f} div={cm['diversity_mean']:.3f} "
-              f"fid={cm['fid_probe']:.2f}")
+                  "snr_gamma": args.snr_gamma,
+                  "n_samples": args.samples_per_cell,
+                  "cells": {}, "composed": None}
+
+        def score(bs, seed_salt, save_png=True, cfg_name=cfg_name,
+                  stack=stack):
+            """All-9-cell scoring at a given per-cell sample count /
+            sampling seed — re-invoked by the near-boundary escalation
+            (VERDICT r4 item 6) with 4x samples and a fresh seed."""
+            import numpy as np
+
+            def eps_fn(x, t, labs):
+                eps = stack(x.astype(dtype), t.astype(dtype),
+                            experts.per_expert(labs))
+                return compose.weighted(eps.astype(jnp.float32), w)
+
+            @jax.jit
+            def composed(k, labs):
+                x = jax.random.normal(k, (bs, args.img, args.img, 3),
+                                      jnp.float32)
+                return samplers.ddim(lambda xx, tt: eps_fn(xx, tt, labs),
+                                     schedule, x, args.n_steps)
+
+            # cell labels are batch-constant: the folded DiT serving path
+            # folds them into per-step weights and requires shape (K, 1);
+            # the UNet path keeps measure_shapes_throughput's (K, B) layout
+            lab_cols = 1 if cfg_name.startswith("dit") else bs
+            out = {"cells": {}, "composed": None}
+            cell_stats, grids, all_feats, cell_divs = [], [], [], []
+            for s in range(3):
+                for c in range(3):
+                    labs = jnp.stack([jnp.full((lab_cols,), s, jnp.int32),
+                                      jnp.full((lab_cols,), c, jnp.int32)])
+                    samples = composed(
+                        jax.random.fold_in(key, seed_salt + 40 + 3 * s + c),
+                        labs)
+                    samples = jnp.clip(samples, -1, 1)
+                    grids.append(samples[:4])
+                    scores = ceval.compositional_scores(
+                        probe, probe_params, samples, (s, c))
+                    feats = ceval.probe_features(probe, probe_params,
+                                                 samples)
+                    all_feats.append(feats)
+                    f = np.asarray(feats)
+                    dmat = np.sqrt(np.maximum(
+                        ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1), 0.0))
+                    iu = np.triu_indices(f.shape[0], k=1)
+                    cell_divs.append(float(dmat[iu].mean()))
+                    out["cells"][f"{s},{c}"] = scores
+                    cell_stats.append(scores["joint_acc"])
+                    print(f"cell ({s},{c}): joint={scores['joint_acc']:.3f}")
+            feats_all = jnp.concatenate(all_feats, axis=0)
+            out["composed"] = {
+                "joint_mean": float(np.mean(cell_stats)),
+                "joint_min": float(np.min(cell_stats)),
+                "diversity_mean": float(np.mean(cell_divs)),
+                "diversity_min": float(np.min(cell_divs)),
+                "fid_probe": round(
+                    ceval.frechet_probe_distance(feats_all, real_feats), 4),
+            }
+            if save_png:
+                save_grid(jnp.concatenate(grids, axis=0),
+                          f"{args.out}/{cfg_name}_cells.png", nrow=12)
+            cm = out["composed"]
+            print(f"{cfg_name}: joint mean={cm['joint_mean']:.3f} "
+                  f"min={cm['joint_min']:.3f} div={cm['diversity_mean']:.3f} "
+                  f"fid={cm['fid_probe']:.2f}")
+            return out
+
+        report.update(score(args.samples_per_cell, 0))
         reports[cfg_name] = report
+        scorers[cfg_name] = score
 
     if args.baseline.endswith(".json"):
         with open(args.baseline) as f:
@@ -219,8 +237,30 @@ def main():
 
     any_fail = False
     for cfg_name, report in reports.items():
+        # noise band sized to samples_per_cell — joint_min (the noisiest
+        # criterion) is a single-cell fraction at that n
         verdict = judge(report, baseline, args.tol, args.div_frac,
-                        args.fid_slack, criteria=SHAPES_CRITERIA)
+                        args.fid_slack, criteria=SHAPES_CRITERIA,
+                        n_samples=args.samples_per_cell)
+        if (verdict.get("near_boundary") and report is not baseline
+                and not args.sanity and cfg_name in scorers):
+            n_esc = 4 * args.samples_per_cell
+            print(f"{cfg_name}: near-boundary criteria at "
+                  f"n={args.samples_per_cell}/cell — escalating to "
+                  f"n={n_esc}/cell, second sampling seed")
+            first_pass = {"n_samples": args.samples_per_cell,
+                          "cells": report["cells"],
+                          "composed": report["composed"], **verdict}
+            esc = scorers[cfg_name](n_esc, 1000, save_png=False)
+            report["cells"], report["composed"] = (esc["cells"],
+                                                   esc["composed"])
+            report["n_samples"] = n_esc
+            report["escalation"] = {"first_pass": first_pass,
+                                    "escalated_n": n_esc,
+                                    "second_seed_salt": 1000}
+            verdict = judge(report, baseline, args.tol, args.div_frac,
+                            args.fid_slack, criteria=SHAPES_CRITERIA,
+                            n_samples=n_esc)
         if report is baseline:
             verdict["verdict"] = "BASELINE"
         report.update(verdict)

@@ -154,6 +154,24 @@ def test_fused_dit_block_matches_fallback(key, b, t, d, h):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("b,t,d,h", [(8, 16, 64, 2),   # flagship-like T
+                                     (8, 4, 64, 2)])   # p14-like tiny T
+def test_fused_dit_block_batched_attn_matches_packed(key, b, t, d, h):
+    """attn_mode='batched' (per-image dot_general batch dims, no mask) ==
+    attn_mode='packed' == the XLA fallback — identical math, different
+    MXU shapes (VERDICT r4 item 2a; the A/B lives in profile_dit.py)."""
+    ks = jax.random.split(key, 9)
+    tok = jax.random.normal(ks[0], (b, t, d), jnp.float32)
+    args = [jax.random.normal(k2, s) * 0.1 for k2, s in zip(
+        ks[1:], [(d, 3 * d), (3 * d,), (d, d), (d,), (d, 4 * d), (4 * d,),
+                 (4 * d, d), (d,)])]
+    ref = pk.fused_dit_block(tok, *args, h, use_pallas=False)
+    out = pk.fused_dit_block(tok, *args, h, use_pallas=True,
+                             attn_mode="batched")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_folded_apply_fused_block_matches_module(key):
     """make_folded_apply(fused_block=True) == DiT.apply at batch-constant t
     (the TestFoldedDiT contract, through the whole-block kernel path)."""

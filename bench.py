@@ -12,13 +12,16 @@ lax.scan, and the whole sampler is a single jitted program: zero host sync.
 
 Flagship model: the metric is defined on the WORKLOAD (MNIST 28x28, 50-step
 DDIM, 3 composed experts), not on the reference's architecture. The default
-headline model is the r3 quality-gated DiT (patch 7 / dim 256 / depth 8 —
-artifacts/quality_gate_r3: composed in-union probe accuracy 0.957, exactly
-the reference-parity base-64 UNet's, with higher solo accuracy, at 3.7x
-fewer FLOPs). The reference-architecture number (M1 base-64 UNet,
-unet_small.py:47-92; bf16 params/activations, fp32 schedule math) is still
-measured every run and reported as extra.unet64_parity_images_per_sec;
-`--flagship unet64` restores it as the headline.
+headline model is the r5 quality-gated DiT (patch 14 / dim 256 / depth 4 —
+artifacts/quality_gate_r5: FAILs the self-judged gate at 24k train steps
+but PASSes at 48k with composed in-union 0.9404 at n=1024 escalated
+sampling; 4.4 GFLOP/image, 5.4x fewer FLOPs than the r4 flagship and 27x
+fewer than the base-64 UNet; measured 15912 img/s at bs 8192, 3.2x the
+5000 img/s north star). The reference-architecture number (M1
+base-64 UNet, unet_small.py:47-92; bf16 params/activations, fp32 schedule
+math) is still measured every run and reported as
+extra.unet64_parity_images_per_sec; `--flagship unet64` restores it as the
+headline.
 """
 
 import argparse
@@ -184,7 +187,11 @@ def measure_dit_throughput(batch_size: int = 384, iters: int = 3,
     """DiT composer throughput on the bench workload — MNIST 28x28,
     50-step DDIM, 3 composed experts. Used twice:
 
-    - the HEADLINE flagship (patch 7 / dim 256 / depth 8): passed the r3
+    - the HEADLINE flagship (r5: patch 14 / dim 256 / depth 4 at bs 8192,
+      15912 img/s, MFU 0.354 — depth 6 measures 11075 at bs 4096, MFU
+      0.366; history below is the r3 p7/d256/l8 era —
+      kept because the per-shape observations still hold at 16 tokens):
+      (patch 7 / dim 256 / depth 8) passed the r3
       quality gate (artifacts/quality_gate_r3 — composed in-union 0.957,
       exactly the base-64 UNet's, with better solo quality at 3.7x fewer
       FLOPs). Measured 1213 img/s at bs 1024 stock (sweep 512/1024/2048;
@@ -328,19 +335,23 @@ def gate_verdict(flagship: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--flagship", default="dit_p7_d256_l6",
-                    help="headline model config: dit_p<P>_d<D>_l<L> or "
-                         "unet<W>. Default is the r4 quality-gated DiT "
-                         "(artifacts/quality_gate_r4: FAILs the self-judged "
-                         "gate at the 12k-step reference-equivalent budget "
-                         "but PASSes at 24k and 48k — training budget is an "
-                         "axis, VERDICT r3 item 2; the extra 12k steps cost "
-                         "~95 s at the measured 32.6k img/s train rate). "
-                         "'dit_p7_d256_l8' is the r3 flagship (PASSes at "
-                         "12k); 'unet64' reproduces the r1/r2 "
-                         "reference-architecture headline.")
-    ap.add_argument("--batch_sizes", default="512,768,1024",
-                    help="headline sweep (unet flagships want ~256,384,512)")
+    ap.add_argument("--flagship", default="dit_p14_d256_l4",
+                    help="headline model config: dit_p<P>_d<D>_l<L>[_h<H>] "
+                         "or unet<W>. Default is the r5 quality-gated DiT "
+                         "(artifacts/quality_gate_r5: FAILs the self-judged "
+                         "gate at 24k train steps but PASSes at 48k with "
+                         "escalated n=1024 sampling — training budget is a "
+                         "recipe axis; 48k steps cost ~6 min at the "
+                         "measured train rate). 'dit_p14_d256_l6' is the "
+                         "stronger-margin r5 runner-up (in-union 0.9463 "
+                         "vs l4's 0.9404), 'dit_p7_d256_l6' the r4 "
+                         "flagship, 'dit_p7_d256_l8' the r3 one; 'unet64' "
+                         "reproduces the r1/r2 reference-architecture "
+                         "headline.")
+    ap.add_argument("--batch_sizes", default="2048,4096,8192",
+                    help="headline sweep (the p14 flagship peaks at "
+                         "4096-8192; p7 DiTs want ~512-1024, unet "
+                         "flagships ~256,384,512)")
     ap.add_argument("--base_dim", type=int, default=64,
                     help="reference mnist UNet width (unet_small.py:49) for "
                          "the parity extra (and the unet<W> flagship path)")

@@ -214,15 +214,26 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                  steps_per_scan: int = 100,
                  ema_decay: Optional[float] = None,
                  predict: str = "eps",
-                 snr_gamma: Optional[float] = None) -> Tuple[Params, Array]:
+                 snr_gamma: Optional[float] = None,
+                 clip_norm: Optional[float] = None) -> Tuple[Params, Array]:
     """Train one expert on a device-resident dataset. Returns (params, losses)
     — with ``ema_decay`` set, params are the EMA tree (the sampling-quality
     standard; the raw final tree is discarded).
 
     The loop runs as chunks of ``steps_per_scan`` steps fused into single
     ``lax.scan`` calls; batches are sampled with replacement inside the scan.
+
+    ``clip_norm`` prepends global-norm gradient clipping to Adam. Measured
+    necessity, not hygiene: the 64x64 DiT expert (p8/d256/l8, bf16) trains
+    to loss 0.001 by 10k steps, then a growing spike train (max 0.03 @ 7k,
+    0.06 @ 9k) detonates it at ~10-12k to a permanent ~0.91 — deterministic
+    in the gate's seed (r4 AND r5 shapes gates both hit it; repro segments
+    in artifacts/quality_gate_shapes_r5/p8_divergence_repro.log). Clipping
+    binds only on the spike steps, leaving healthy runs bit-equivalent in
+    the common case.
     """
-    tx = optax.adam(lr)
+    tx = (optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+          if clip_norm else optax.adam(lr))
     # private copies: the chunks donate their inputs, and donation must never
     # consume the caller's arrays (they may be reused across calls)
     params = jax.tree_util.tree_map(jnp.copy, params)
@@ -264,7 +275,8 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                            keep: int = 3,
                            ema_decay: Optional[float] = None,
                            predict: str = "eps",
-                           snr_gamma: Optional[float] = None
+                           snr_gamma: Optional[float] = None,
+                           clip_norm: Optional[float] = None
                            ) -> Tuple[Params, Array]:
     """``train_expert`` with preemption recovery (SURVEY.md §5.3 — a NEW
     capability over the reference's save-only checkpoints).
@@ -280,9 +292,10 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     (``ema_params`` key) so resume stays bitwise, and the EMA params are
     returned — same contract as ``train_expert``. Step checkpoints written
     without EMA cannot be resumed with it (structure mismatch — re-run or
-    drop the flag).
+    drop the flag). ``clip_norm`` as in ``train_expert``.
     """
-    tx = optax.adam(lr)
+    tx = (optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+          if clip_norm else optax.adam(lr))
     # private copies: the chunks donate their inputs, and donation must never
     # consume the caller's arrays (they may be reused across calls)
     params = jax.tree_util.tree_map(jnp.copy, params)

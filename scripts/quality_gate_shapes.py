@@ -84,6 +84,13 @@ def main():
     ap.add_argument("--snr_gamma", type=float, default=5.0,
                     help="min-SNR loss weighting (the measured-best shapes "
                          "training recipe; 0 disables)")
+    ap.add_argument("--clip_norm", type=float, default=1.0,
+                    help="global-norm gradient clipping (0 disables). "
+                         "Default ON here: the 64x64 DiT expert trains to "
+                         "loss 0.001 then deterministically detonates at "
+                         "~10-12k steps without it (repro in "
+                         "artifacts/quality_gate_shapes_r5/"
+                         "p8_divergence_repro.log)")
     ap.add_argument("--probe_steps", type=int, default=2000)
     ap.add_argument("--samples_per_cell", type=int, default=64)
     ap.add_argument("--n_steps", type=int, default=50)
@@ -139,7 +146,8 @@ def main():
                 full_imgs, (labels,), steps=args.train_steps,
                 batch_size=args.batch_size, lr=args.lr,
                 ema_decay=args.ema or None,
-                snr_gamma=args.snr_gamma or None)
+                snr_gamma=args.snr_gamma or None,
+                clip_norm=args.clip_norm or None)
             print(f"  final loss {float(losses[-1]):.4f}")
             params_list.append(jax.tree_util.tree_map(
                 lambda a: a.astype(dtype), p))
@@ -153,6 +161,7 @@ def main():
         report = {"config": cfg_name, "workload": "shapes64_2expert_ddim50",
                   "train_steps": args.train_steps, "img": args.img,
                   "snr_gamma": args.snr_gamma,
+                  "clip_norm": args.clip_norm,
                   "n_samples": args.samples_per_cell,
                   "cells": {}, "composed": None}
 

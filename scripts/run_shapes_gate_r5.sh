@@ -27,7 +27,14 @@ import json; print(json.load(open('$J')).get('verdict'))"))"
   done
   TODO="${TODO#,}"
   [ -z "$TODO" ] && continue
-  python scripts/quality_gate_shapes.py --configs "unet64,$TODO" \
+  # tpu_retry: two watchdog kills on 2026-08-21 were genuine tunnel
+  # stalls mid-training — relaunch up to 3x per budget. (The r4/r5
+  # "shape expert never trains" failure was separate and real: a
+  # deterministic bf16 divergence at ~10-12k steps, fixed by the gate's
+  # default --clip_norm 1.0; repro in
+  # artifacts/quality_gate_shapes_r5/p8_divergence_repro.log.)
+  bash scripts/tpu_retry.sh 6000 3 \
+      python scripts/quality_gate_shapes.py --configs "unet64,$TODO" \
       --baseline unet64 --train_steps "$STEPS" --out "$OUT"
   # stop escalating budgets once every candidate PASSes
   ALLPASS=$(python - "$OUT" "$STEPS" <<'EOF'

@@ -215,7 +215,8 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
                  ema_decay: Optional[float] = None,
                  predict: str = "eps",
                  snr_gamma: Optional[float] = None,
-                 clip_norm: Optional[float] = None) -> Tuple[Params, Array]:
+                 clip_norm: Optional[float] = None,
+                 adam_eps: float = 1e-8) -> Tuple[Params, Array]:
     """Train one expert on a device-resident dataset. Returns (params, losses)
     — with ``ema_decay`` set, params are the EMA tree (the sampling-quality
     standard; the raw final tree is discarded).
@@ -223,17 +224,22 @@ def train_expert(key: Array, apply_fn: Callable[..., Array], params: Params,
     The loop runs as chunks of ``steps_per_scan`` steps fused into single
     ``lax.scan`` calls; batches are sampled with replacement inside the scan.
 
-    ``clip_norm`` prepends global-norm gradient clipping to Adam. Measured
-    necessity, not hygiene: the 64x64 DiT expert (p8/d256/l8, bf16) trains
-    to loss 0.001 by 10k steps, then a growing spike train (max 0.03 @ 7k,
-    0.06 @ 9k) detonates it at ~10-12k to a permanent ~0.91 — deterministic
-    in the gate's seed (r4 AND r5 shapes gates both hit it; repro segments
-    in artifacts/quality_gate_shapes_r5/p8_divergence_repro.log). Clipping
-    binds only on the spike steps, leaving healthy runs bit-equivalent in
-    the common case.
+    ``clip_norm`` prepends global-norm gradient clipping to Adam;
+    ``adam_eps`` raises Adam's epsilon. Both exist because of a measured
+    instability, and NEITHER is its fix — the knob ladder is archived in
+    artifacts/quality_gate_shapes_r5/p8_divergence_repro.log: the 64x64
+    shapes DiT expert (p8/d256/l8, bf16) under min-SNR(gamma=5) weighting
+    trains to loss ~0.001 and then detonates to a permanent ~0.9 at
+    ~10-12k steps (lr 2e-4), ~12-16k (1e-4), ~16-20k (5e-5), with
+    clip_norm=1.0 in every case; adam_eps=1e-5 turns the plateau into a
+    runaway (loss 1000+). Dropping ``snr_gamma`` is the measured fix:
+    plain-loss training is stable through 24k steps (final 0.0006, max
+    spike 0.02) at the original lr 2e-4. The knobs remain for recipes
+    that want them; quality_gate_shapes documents the interaction.
     """
-    tx = (optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
-          if clip_norm else optax.adam(lr))
+    adam = optax.adam(lr, eps=adam_eps)
+    tx = (optax.chain(optax.clip_by_global_norm(clip_norm), adam)
+          if clip_norm else adam)
     # private copies: the chunks donate their inputs, and donation must never
     # consume the caller's arrays (they may be reused across calls)
     params = jax.tree_util.tree_map(jnp.copy, params)
@@ -276,7 +282,8 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
                            ema_decay: Optional[float] = None,
                            predict: str = "eps",
                            snr_gamma: Optional[float] = None,
-                           clip_norm: Optional[float] = None
+                           clip_norm: Optional[float] = None,
+                           adam_eps: float = 1e-8
                            ) -> Tuple[Params, Array]:
     """``train_expert`` with preemption recovery (SURVEY.md §5.3 — a NEW
     capability over the reference's save-only checkpoints).
@@ -292,10 +299,11 @@ def train_expert_resumable(key: Array, apply_fn: Callable[..., Array],
     (``ema_params`` key) so resume stays bitwise, and the EMA params are
     returned — same contract as ``train_expert``. Step checkpoints written
     without EMA cannot be resumed with it (structure mismatch — re-run or
-    drop the flag). ``clip_norm`` as in ``train_expert``.
+    drop the flag). ``clip_norm``/``adam_eps`` as in ``train_expert``.
     """
-    tx = (optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
-          if clip_norm else optax.adam(lr))
+    adam = optax.adam(lr, eps=adam_eps)
+    tx = (optax.chain(optax.clip_by_global_norm(clip_norm), adam)
+          if clip_norm else adam)
     # private copies: the chunks donate their inputs, and donation must never
     # consume the caller's arrays (they may be reused across calls)
     params = jax.tree_util.tree_map(jnp.copy, params)

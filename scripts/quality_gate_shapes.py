@@ -81,16 +81,20 @@ def main():
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--ema", type=float, default=0.999)
-    ap.add_argument("--snr_gamma", type=float, default=5.0,
-                    help="min-SNR loss weighting (the measured-best shapes "
-                         "training recipe; 0 disables)")
+    ap.add_argument("--snr_gamma", type=float, default=0.0,
+                    help="min-SNR loss weighting (0 disables — the r5 "
+                         "DEFAULT: under gamma=5 the 64x64 DiT expert "
+                         "trains to loss ~0.001 then deterministically "
+                         "detonates at 10-20k steps across lr 2e-4/1e-4/"
+                         "5e-5, with clipping, with adam_eps 1e-5; plain "
+                         "loss is stable to 24k at final 0.0006 — knob "
+                         "ladder in artifacts/quality_gate_shapes_r5/"
+                         "p8_divergence_repro.log. The r4 unet-only gate "
+                         "ran gamma=5; the gate is relative so baseline "
+                         "and candidates always share one recipe)")
     ap.add_argument("--clip_norm", type=float, default=1.0,
-                    help="global-norm gradient clipping (0 disables). "
-                         "Default ON here: the 64x64 DiT expert trains to "
-                         "loss 0.001 then deterministically detonates at "
-                         "~10-12k steps without it (repro in "
-                         "artifacts/quality_gate_shapes_r5/"
-                         "p8_divergence_repro.log)")
+                    help="global-norm gradient clipping (0 disables); "
+                         "binds only on spike steps")
     ap.add_argument("--probe_steps", type=int, default=2000)
     ap.add_argument("--samples_per_cell", type=int, default=64)
     ap.add_argument("--n_steps", type=int, default=50)

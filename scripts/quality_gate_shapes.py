@@ -56,6 +56,19 @@ SHAPES_CRITERIA = (
 
 
 def build_model(name: str, dtype, img: int):
+    """Returns (train_model, serve_fn).
+
+    DiT candidates TRAIN in fp32 compute and SERVE in bf16 through the
+    folded path (the param tree is dtype-free; scoring casts it to bf16 —
+    exactly the production split). Measured necessity: at 64x64 the bf16
+    DiT training pass detonates late in training under MULTIPLE recipes
+    (min-SNR was the first confirmed trigger; a plain-loss clipped run
+    then detonated the color expert the same way, loss -> ~1.0 permanent).
+    The shapes data trains to loss ~5e-4 — 30x below the MNIST runs that
+    never detonate — so bf16 rounding noise in the residual stream is the
+    dominant gradient signal late in training. fp32 removes the trigger;
+    knob ladder in artifacts/quality_gate_shapes_r5/p8_divergence_repro.log.
+    """
     if name.startswith("unet"):
         m = UNet(in_channels=3, base_dim=int(name[4:]),
                  channel_mults=(1, 2, 4), num_classes=(3,), dtype=dtype)
@@ -65,10 +78,11 @@ def build_model(name: str, dtype, img: int):
         parts = {p[0]: int(p[1:]) for p in name.split("_")[1:]}
         if img % parts["p"]:
             raise ValueError(f"img {img} not divisible by patch {parts['p']}")
-        m = DiT(patch=parts["p"], dim=parts["d"], depth=parts["l"],
-                n_heads=parts.get("h", 8), in_channels=3, num_classes=(3,),
-                dtype=dtype)
-        return m, make_folded_apply(m)
+        kw = dict(patch=parts["p"], dim=parts["d"], depth=parts["l"],
+                  n_heads=parts.get("h", 8), in_channels=3, num_classes=(3,))
+        m_train = DiT(dtype=None, **kw)          # fp32 training compute
+        m_serve = DiT(dtype=dtype, **kw)         # bf16 folded serving
+        return m_train, make_folded_apply(m_serve)
     raise ValueError(f"unknown config {name}")
 
 

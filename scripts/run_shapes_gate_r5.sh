@@ -11,7 +11,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-OUT="outputs/quality_gate_shapes_r5"
+OUT="${OUT:-outputs/quality_gate_shapes_r5}"
 CANDS="dit_p8_d256_l8 dit_p4_d256_l8"
 
 for STEPS in 24000 48000; do
